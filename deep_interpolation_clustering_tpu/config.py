@@ -1,0 +1,181 @@
+"""Single typed configuration shared by every pipeline stage (p0-p4).
+
+The reference spreads ~35 argparse flags across four entry scripts
+(p1_pretrain_main.py:18-101, p3_clustering_main.py:17-105, p2:29-42, p4:30-40)
+plus dict-valued defaults that are not CLI-settable. Here the whole surface is
+one dataclass, serialized as JSON alongside every run directory so any run can
+be reproduced or restored (`load_config`, reference utils.py:44-57).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # ---- general -------------------------------------------------------
+    seed: int = 7529
+    log_level: str = "INFO"
+    mode: str = "train"  # train | eval
+    restore: bool = False
+    # metric used to restore pretrain weights (reference p1:33-34)
+    restore_metric: str = "ae_mse"
+    # metric used to restore DEC weights (reference p3:29)
+    dc_restore_metric: str = "ae_mse"
+    log_train_freq: int = 20
+    log_valid_freq: int = 20
+
+    # ---- data ----------------------------------------------------------
+    hours_from_admission: int = 6
+    batch_size: int = 256
+    norm_method: str = "minmax"
+    aug_input: bool = False
+    aug_std: float = 0.1
+    # affine input scaling: x -> scale*x - scale/2, mapping [0,1] to
+    # [-scale/2, scale/2] (reference dataloader.py:74-79)
+    scale: float = 5.0
+    denoise: bool = False
+    num_variables: int = 6
+    # dense padded length T (max observation count, reference p1:52)
+    num_timestamps: int = 354
+    evaluate_interpolation: bool = False
+    # fraction of observed points held out for the autoencoder loss
+    # (reference p0_data_process.py:95-117)
+    holdout_frac: float = 0.2
+
+    # ---- model ---------------------------------------------------------
+    ref_points: int = 6
+    dropout: float = 0.2
+    lstm_hidden: int = 128
+    head_hidden: int = 128
+    fake_detection: bool = True
+    triple_margin: float = 0.0
+    triple_pos_std: float = 0.1
+    rbf_basis: str = "gaussian"
+
+    # ---- clustering (DEC, p3) -----------------------------------------
+    cluster_number: int = 4
+    dec_alpha: float = 1.0
+    init_cluster_center: str = "kmeans"  # kmeans | random | none
+    stopping_delta: Optional[float] = 1e-4
+    update_interval: int = 1
+    kmeans_n_init: int = 20
+
+    # ---- learning ------------------------------------------------------
+    loss: str = "ae_mse_sup_fake_detect"
+    aux_tasks: Dict[str, float] = field(default_factory=lambda: {"future_vital": 0.5})
+    aux_pos_weights: Dict[str, float] = field(
+        default_factory=lambda: {
+            "future_vital": 1.0,
+            "AKI_overall": 1.0,
+            "mort_status_30d": 1.0,
+            "ICU": 1.0,
+        }
+    )
+    unsup_aux_tasks: Dict[str, float] = field(
+        default_factory=lambda: {"fake_detection": 1.0, "triplet": 1.0, "kl": 10.0}
+    )
+    max_epochs: int = 10000
+    optimizer: str = "adam"  # adam (amsgrad) | sgd | rmsprop
+    init_lr: float = 3e-3
+    min_lr: float = 1e-6
+    lr_decay_mode: str = "step"  # step | plateau | warmup
+    lr_decay_step_or_patience: int = 20
+    lr_decay_rate: float = 0.2
+    warmup_multiplier: float = 8.0
+    warmup_epochs: int = 10
+    grad_clip: float = 15.0
+    weight_decay_rate: float = 4e-4
+    early_stopping: int = 50
+
+    # ---- K-selection (p2) ---------------------------------------------
+    k_max: int = 10
+    select_opt_k: Tuple[str, ...] = ("gap_sts", "elbow")
+    n_init: int = 10
+    gap_b: int = 10
+    opt_eps: float = 1.9
+    internal_metrics: Tuple[str, ...] = (
+        "Sihouette",
+        "Davies-Bouldin_Index",
+        "Calinski-Harabasz",
+    )
+
+    # ---- final labels (p4) --------------------------------------------
+    cluster_method: str = "kmeans"  # kmeans | dbscan | dl | consensus
+    num_clusters: int = 4
+    dl_cluster_label_type: str = "pred"  # pred | label
+
+    # ---- paths ---------------------------------------------------------
+    base_path: str = "Data"
+    results_path: str = "Results"
+
+    # ---- parallelism ---------------------------------------------------
+    # number of devices in the data axis of the mesh; 0 = all local devices
+    data_parallel: int = 0
+    # computation dtype on the parity path must stay float32; bf16 is an
+    # opt-in for throughput runs
+    compute_dtype: str = "float32"
+
+    # ------------------------------------------------------------------
+    @property
+    def dim_enc_hidden(self) -> int:
+        """Latent width: concat of fwd/bwd final LSTM hidden states."""
+        return 2 * self.lstm_hidden
+
+    @property
+    def loss_components(self) -> frozenset:
+        """Decode the reference's loss-mode string into a component set.
+
+        The reference dispatches on 9 loss-name strings with elif chains
+        (pretrain_trainer.py:197-221, clustering_trainer.py:228-272); here the
+        mode string is parsed once into data.
+        """
+        name = self.loss
+        comps = set()
+        if "_sup" in name:
+            comps.add("sup")
+        if "fake_detect" in name:
+            comps.add("fake")
+        if name.endswith("_kl") or "_kl_" in name:
+            comps.add("kl")
+        if "triplet" in name:
+            comps.add("triplet")
+        return frozenset(comps)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ---- (de)serialization --------------------------------------------
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    def save(self, run_dir: str, name: str = "config") -> str:
+        os.makedirs(run_dir, exist_ok=True)
+        path = os.path.join(run_dir, f"{name}.json")
+        with open(path, "w") as f:
+            f.write(self.to_json())
+        return path
+
+    @classmethod
+    def load(cls, path: str, **overrides) -> "Config":
+        """Reload a saved config, overriding a changeable subset.
+
+        Mirrors `load_config` (reference utils.py:44-57): every stored field
+        is restored, then the caller-supplied overrides win.
+        """
+        with open(path) as f:
+            d = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
+        d.update(overrides)
+        # JSON round-trips tuples as lists
+        for k in ("select_opt_k", "internal_metrics"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return cls(**d)

@@ -1,0 +1,145 @@
+"""Online data loading: dense arrays + a shuffled batch iterator.
+
+TPU-first redesign of the reference's torch `DataSet`/`DataLoader` worker
+pool (dataloader.py:16-217): cohorts are dense front-packed arrays resident
+in host memory; batches are sliced views; and the per-sample randomized work
+— adversarial fake-sample generation and Gaussian augmentation — moves into
+jittable functions of `(batch, key)` that run **inside** the training step on
+device, so the input pipeline is never the bottleneck and every batch is
+reproducible from the epoch key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..utils import logger
+
+Array = jax.Array
+
+
+def stack_input(ob, padding_mask, timestamp, ae_mask):
+    """Stack the four `(B, C, T)` planes to `(B, 4C, T)` in the canonical
+    order [ob | padding_mask | timestamp | ae_mask]
+    (reference dataloader.py:67-69)."""
+    concat = jnp.concatenate if isinstance(ob, jax.Array) else np.concatenate
+    return concat([ob, padding_mask, timestamp, ae_mask], axis=1)
+
+
+class ArrayDataset:
+    """A cohort as dense arrays, pre-scaled once at construction.
+
+    The observation plane is affinely scaled `x -> scale*x - scale/2`
+    mapping [0,1] to [-scale/2, scale/2] (reference dataloader.py:74-79).
+    Auxiliary labels (future-vital targets with NaN->mask, binary outcomes)
+    ride along as aligned arrays (reference dataloader.py:81-118).
+    """
+
+    def __init__(self, cfg: Config, cohort_dict: Dict[str, np.ndarray], cohort: str):
+        self.cfg = cfg
+        self.cohort = cohort
+        self.encounter_ids = list(cohort_dict["encounter_id"])
+
+        feat = np.asarray(cohort_dict["feat"], np.float32)
+        if cfg.scale != 0:
+            feat = cfg.scale * feat - cfg.scale / 2
+        self.ob = feat
+        self.padding_mask = np.asarray(cohort_dict["padding_mask"], np.float32)
+        self.timestamp = np.asarray(cohort_dict["time_step"], np.float32)
+        self.ae_mask = np.asarray(cohort_dict["drop_mask"], np.float32)
+
+        self.aux: Dict[str, np.ndarray] = {}
+        if "future_vital" in cfg.aux_tasks:
+            fv = np.asarray(cohort_dict["future_vital"], np.float32)
+            self.aux["future_vital_mask"] = (~np.isnan(fv)).astype(np.float32)
+            self.aux["future_vital"] = np.nan_to_num(fv, nan=0.0)
+        for task in cfg.aux_tasks:
+            if task == "future_vital":
+                continue
+            self.aux[task] = np.asarray(cohort_dict[task], np.float32)
+
+        logger.info("%s data shape: %s", cohort, self.ob.shape)
+
+    def __len__(self) -> int:
+        return self.ob.shape[0]
+
+    @property
+    def num_timestamps(self) -> int:
+        return self.ob.shape[-1]
+
+    def batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        d = {
+            "index": idx,
+            "ob": self.ob[idx],
+            "padding_mask": self.padding_mask[idx],
+            "timestamp": self.timestamp[idx],
+            "ae_mask": self.ae_mask[idx],
+        }
+        for k, v in self.aux.items():
+            d[k] = v[idx]
+        return d
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+        drop_last: bool = False,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            (rng or np.random).shuffle(order)
+        stop = (n // batch_size) * batch_size if drop_last else n
+        for start in range(0, stop, batch_size):
+            yield self.batch(order[start : start + batch_size])
+
+    def num_batches(self, batch_size: int, drop_last: bool = False) -> int:
+        n = len(self)
+        return n // batch_size if drop_last else -(-n // batch_size)
+
+
+# ------------------------------------------------------------------
+# device-side randomized transforms (jittable)
+# ------------------------------------------------------------------
+def make_fake_ob(ob: Array, padding_mask: Array, key: Array, scale: float) -> Array:
+    """Adversarial negatives: replace a random 50% (>=1) of each channel's
+    valid observations with uniform noise over the scaled input range
+    (reference dataloader.py:182-193).
+
+    Valid observations occupy the first `n_valid` slots (front-packed
+    gridding), so a masked random-score rank-threshold draws an exact
+    uniform k-subset without replacement — the vectorized equivalent of the
+    reference's per-channel `np.random.choice`.
+    """
+    b, c, t = ob.shape
+    k_sel, k_noise = jax.random.split(key)
+    n_valid = jnp.sum(padding_mask, axis=2, keepdims=True)  # (B, C, 1)
+    num_perm = jnp.maximum(1, jnp.floor(0.5 * n_valid)).astype(jnp.int32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, c, t), 2)
+    scores = jax.random.uniform(k_sel, (b, c, t))
+    scores = jnp.where(pos < n_valid, scores, jnp.inf)
+    ranks = jnp.argsort(jnp.argsort(scores, axis=2), axis=2)
+    selected = ranks < num_perm
+
+    noise = jax.random.uniform(k_noise, (b, c, t))
+    if scale != 0:
+        noise = noise * scale - scale / 2
+    return jnp.where(selected, noise, ob)
+
+
+def augment_batch(
+    ob: Array, timestamp: Array, padding_mask: Array, key: Array, ob_std: float
+) -> tuple:
+    """Gaussian train-time augmentation on observations (std=`ob_std`) and
+    timestamps (std=0.01), re-masked (reference dataloader.py:196-217)."""
+    k_ob, k_ts = jax.random.split(key)
+    ob_n = (ob + jax.random.normal(k_ob, ob.shape) * ob_std) * padding_mask
+    ts_n = (timestamp + jax.random.normal(k_ts, timestamp.shape) * 0.01) * padding_mask
+    return ob_n, ts_n

@@ -1,0 +1,159 @@
+"""The interpolation-prediction autoencoder network.
+
+One functional model covers both pipeline stages — the reference duplicates
+its whole module tree between `pretrain_interp.py` and `clustering_interp.py`
+(pretrain_interp.py:14-215 ≡ clustering_interp.py:14-247); here the DEC head
+is just an optional `cluster_centers` leaf in the param pytree.
+
+Architecture (reference pretrain_interp.py:90-167):
+  SCI -> CCI -> biLSTM encoder  -> latent = concat(fwd/bwd final hidden)
+                biLSTM decoder (ReLU'd encoder outputs, seeded with enc state)
+             -> RBF decode back onto irregular observed timestamps
+  + FuturePredFc (sigmoid 6-d future-vital regression)
+  + AuxFc (binary outcome logits) when extra aux tasks are configured
+  + FakeDetFc (log-softmax real/fake) over the permuted concat of real and
+    fake latents
+  + optional DEC Student-t soft assignment / target distribution
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import nn
+from ..ops.dec import centers_init, soft_assignment, target_distribution
+from ..ops.interpolation import cci_forward, cci_identity_kernel, sci_forward
+from ..ops.lstm import bilstm_forward, lstm_init
+from ..ops.rbf import rbf_decode, rbf_init
+
+Array = jax.Array
+
+
+class NetOutput(NamedTuple):
+    hidden: Array  # (B, 2H) latent
+    rec: Array  # (B, C, T) reconstruction at observed timestamps
+    aux: Dict[str, Array]  # head predictions keyed by task
+    state: Dict  # updated batch-norm state
+
+
+def init_net(
+    key: Array, cfg: Config, clustering: bool = False, dtype=jnp.float32
+) -> Tuple[Dict, Dict]:
+    """Build the param/state pytrees. `clustering=True` adds the DEC head."""
+    c = cfg.num_variables
+    h = cfg.lstm_hidden
+    latent = cfg.dim_enc_hidden
+    ks = jax.random.split(key, 8)
+
+    params: Dict = {
+        # per-channel temporal kernel ~ U[0,1) (reference interpolation_layer.py:23)
+        "sci": {"kernel": jax.random.uniform(ks[0], (c,), dtype)},
+        "cci": {"kernel": cci_identity_kernel(c, dtype)},
+        "encoder": lstm_init(ks[1], 3 * c, h, dtype),
+        "decoder": lstm_init(ks[2], 2 * h, h, dtype),
+    }
+    state: Dict = {}
+
+    rbf_p, rbf_s = rbf_init(ks[3], latent, c, cfg.head_hidden, dtype)
+    params["rbf"], state["rbf"] = rbf_p, rbf_s
+
+    num_aux = len(cfg.aux_tasks)
+    if "future_vital" in cfg.aux_tasks:
+        p, s = nn.head_init(ks[4], latent, cfg.head_hidden, c, dtype)
+        params["predict_future"], state["predict_future"] = p, s
+        num_aux -= 1
+    if num_aux > 0:
+        p, s = nn.head_init(ks[5], latent, cfg.head_hidden, num_aux, dtype)
+        params["aux_head"], state["aux_head"] = p, s
+    if cfg.fake_detection:
+        p, s = nn.head_init(ks[6], latent, cfg.head_hidden, 2, dtype)
+        params["fake_det_head"], state["fake_det_head"] = p, s
+    if clustering:
+        params["cluster_centers"] = centers_init(
+            ks[7], cfg.cluster_number, latent, dtype
+        )
+    return params, state
+
+
+def _encode(params: Dict, cfg: Config, x: Array) -> Tuple[Array, Array, Array, Array]:
+    """SCI -> CCI -> encoder. Returns (enc_out, hidden, cell, cat_hidden)."""
+    rep = sci_forward(
+        params["sci"]["kernel"], x, cfg.ref_points, cfg.hours_from_admission
+    )
+    rep = cci_forward(params["cci"]["kernel"], rep)
+    rep = jnp.transpose(rep, (1, 0, 2))  # time-major (R, B, 3C)
+    enc_out, hidden, cell = bilstm_forward(params["encoder"], rep)
+    cat_hidden = jnp.concatenate([hidden[0], hidden[1]], axis=-1)
+    return enc_out, hidden, cell, cat_hidden
+
+
+def forward(
+    params: Dict,
+    state: Dict,
+    cfg: Config,
+    x: Array,
+    fake_x: Optional[Array] = None,
+    fake_perm_idx: Optional[Array] = None,
+    positive_x: Optional[Array] = None,
+    train: bool = False,
+    key: Optional[Array] = None,
+) -> NetOutput:
+    """Full forward pass (reference pretrain_interp.py:130-167,
+    clustering_interp.py:134-189)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_rbf, k_future, k_aux, k_fake = jax.random.split(key, 4)
+    new_state = dict(state)
+
+    enc_out, hidden, cell, cat_hidden = _encode(params, cfg, x)
+
+    dec_in = jax.nn.relu(enc_out)  # DecoderRNN ReLUs its input (:39)
+    dec_out, _, _ = bilstm_forward(params["decoder"], dec_in, hidden, cell)
+    interp_data = jnp.transpose(dec_out, (1, 0, 2))  # (B, R, 2H)
+
+    rec, new_state["rbf"] = rbf_decode(
+        params["rbf"], state["rbf"], interp_data, x,
+        cfg.ref_points, cfg.hours_from_admission, cfg.dropout, train, k_rbf,
+        cfg.rbf_basis,
+    )
+
+    aux: Dict[str, Array] = {}
+    if "predict_future" in params:
+        y, new_state["predict_future"] = nn.head_apply(
+            params["predict_future"], state["predict_future"], cat_hidden,
+            cfg.dropout, train, k_future,
+        )
+        aux["future_vital"] = jax.nn.sigmoid(y)
+    if "aux_head" in params:
+        y, new_state["aux_head"] = nn.head_apply(
+            params["aux_head"], state["aux_head"], cat_hidden,
+            cfg.dropout, train, k_aux,
+        )
+        for i, task in enumerate(t for t in cfg.aux_tasks if t != "future_vital"):
+            aux[task] = y[:, i]
+
+    if cfg.fake_detection and fake_x is not None:
+        _, _, _, fake_cat_hidden = _encode(params, cfg, fake_x)
+        pos_neg = jnp.concatenate([cat_hidden, fake_cat_hidden], axis=0)
+        pos_neg = pos_neg[fake_perm_idx]
+        y, new_state["fake_det_head"] = nn.head_apply(
+            params["fake_det_head"], state["fake_det_head"], pos_neg,
+            cfg.dropout, train, k_fake,
+        )
+        aux["fake_det"] = jax.nn.log_softmax(y, axis=1)
+        if cfg.triple_margin != 0.0 and positive_x is not None:
+            _, _, _, pos_cat_hidden = _encode(params, cfg, positive_x)
+            aux["positive"] = pos_cat_hidden
+            aux["negative"] = fake_cat_hidden
+
+    if "cluster_centers" in params:
+        q = soft_assignment(params["cluster_centers"], cat_hidden, cfg.dec_alpha)
+        aux["cluster_pred"] = q
+        # .detach() in the reference (clustering_interp.py:186)
+        aux["cluster_label"] = jax.lax.stop_gradient(target_distribution(q))
+
+    return NetOutput(cat_hidden, rec, aux, new_state)

@@ -1,0 +1,177 @@
+"""Data-layer tests: p0 preprocessing, synthetic cohorts, loader transforms."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from deep_interpolation_clustering_tpu.config import Config
+from deep_interpolation_clustering_tpu.data import (
+    ArrayDataset,
+    augment_batch,
+    extract_abnormal_vitals,
+    generate_data,
+    hold_out,
+    make_fake_ob,
+    make_synthetic_cohorts,
+    mean_imputation,
+    process_splits,
+)
+from deep_interpolation_clustering_tpu.info import MIN_MAX_VALUES, USE_FEATURES
+
+
+def _small_frames(rng, n_enc=5):
+    """Build tiny long-format vital frames with known contents."""
+    eids = [f"e{i}" for i in range(n_enc)]
+    frames = {}
+    for v in USE_FEATURES:
+        rows = []
+        for i, eid in enumerate(eids):
+            k = rng.randint(0, 6)
+            ts = np.sort(rng.rand(k) * 6)
+            for t in ts:
+                rows.append((eid, t, rng.rand() * 50 + 50))
+        frames[v] = pd.DataFrame(
+            rows, columns=["encounter_deiden_id", "time_stamp", "measurement"]
+        )
+    return eids, frames
+
+
+def test_generate_data_roundtrip(rng):
+    eids, frames = _small_frames(rng)
+    d = generate_data(eids, frames)
+    n, c, t = d["feat"].shape
+    assert n == len(eids) and c == len(USE_FEATURES)
+    # front-packed: mask is a prefix of ones per (enc, channel)
+    for i in range(n):
+        for j in range(c):
+            m = d["padding_mask"][i, j]
+            k = int(m.sum())
+            assert (m[:k] == 1).all() and (m[k:] == 0).all()
+    # spot-check one channel's values against the frame
+    j = 0
+    df = frames[USE_FEATURES[0]]
+    for i, eid in enumerate(eids):
+        sub = df[df.encounter_deiden_id == eid]
+        k = len(sub)
+        np.testing.assert_allclose(
+            d["feat"][i, j, :k], sub.measurement.to_numpy(), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            d["time_step"][i, j, :k], sub.time_stamp.to_numpy(), rtol=1e-6
+        )
+
+
+def test_mean_imputation(rng):
+    vit = rng.rand(10, 6, 8)
+    mask = (rng.rand(10, 6, 8) < 0.5).astype(np.int8)
+    mask[3, 2, :] = 0  # fully-missing channel
+    mask[7, 4, :] = 0
+    vit_before = vit.copy()
+    mask_before = mask.copy()
+    means = mean_imputation(vit, mask)
+    assert mask[3, 2, 0] == 1 and mask[7, 4, 0] == 1
+    assert vit[3, 2, 0] == means[2] and vit[7, 4, 0] == means[4]
+    # train means reused for eval cohorts
+    vit2 = rng.rand(4, 6, 8)
+    mask2 = np.zeros((4, 6, 8), dtype=np.int8)
+    mean_imputation(vit2, mask2, pre_mean=means)
+    np.testing.assert_allclose(vit2[:, :, 0], np.broadcast_to(means, (4, 6)))
+    # originally-observed values untouched
+    np.testing.assert_array_equal(
+        vit[mask_before.astype(bool)], vit_before[mask_before.astype(bool)]
+    )
+
+
+def test_hold_out_guard_and_fraction(rng):
+    mask = np.zeros((3, 2, 50), dtype=np.int8)
+    mask[0, 0, :30] = 1  # int(0.2*30)=6 > 1 -> drop 6
+    mask[0, 1, :9] = 1   # int(0.2*9)=1 -> no drop
+    mask[1, 0, :5] = 1   # int(0.2*5)=1 -> no drop
+    mask[2, 1, :50] = 1  # drop 10
+    dm = hold_out(mask, 0.2, rng)
+    assert dm.shape == mask.shape
+    assert (dm[mask == 0] == 0).all()
+    assert (mask[0, 0] - dm[0, 0]).sum() == 6
+    assert (mask[0, 1] - dm[0, 1]).sum() == 0
+    assert (mask[1, 0] - dm[1, 0]).sum() == 0
+    assert (mask[2, 1] - dm[2, 1]).sum() == 10
+
+
+def test_process_splits_and_normalize():
+    cohorts = make_synthetic_cohorts(n_total=60, seed=1)
+    process_splits(cohorts, rng=np.random.RandomState(0))
+    for cohort, d in cohorts.items():
+        # every channel has >=1 observation post-imputation
+        assert (d["padding_mask"].sum(axis=2) >= 1).all()
+        # normalized to [0,1] where observed
+        obs = d["feat"][d["padding_mask"].astype(bool)]
+        assert obs.min() >= -1e-6 and obs.max() <= 1 + 1e-6
+        assert "drop_mask" in d
+
+
+def test_array_dataset_and_scaling():
+    cohorts = make_synthetic_cohorts(n_total=60, seed=2)
+    process_splits(cohorts, rng=np.random.RandomState(0))
+    cfg = Config(batch_size=16)
+    ds = ArrayDataset(cfg, cohorts["training"], "training")
+    obs = ds.ob[ds.padding_mask.astype(bool)]
+    assert obs.min() >= -2.5 - 1e-5 and obs.max() <= 2.5 + 1e-5
+    batches = list(ds.iter_batches(16, shuffle=True, rng=np.random.RandomState(1)))
+    assert sum(b["ob"].shape[0] for b in batches) == len(ds)
+    assert {"future_vital", "future_vital_mask"} <= set(batches[0])
+    assert ds.num_batches(16) == len(batches)
+
+
+def test_make_fake_ob_properties(rng):
+    cfg = Config()
+    ob = rng.randn(4, 6, 20).astype(np.float32)
+    mask = np.zeros((4, 6, 20), dtype=np.float32)
+    counts = rng.randint(1, 20, size=(4, 6))
+    for i in range(4):
+        for j in range(6):
+            mask[i, j, : counts[i, j]] = 1
+    fake = np.asarray(
+        make_fake_ob(jnp.asarray(ob), jnp.asarray(mask), jax.random.PRNGKey(0), 5.0)
+    )
+    changed = (fake != ob).sum(axis=2)
+    want = np.maximum(1, (0.5 * counts).astype(int))
+    # replaced count per channel == max(1, floor(0.5*n_valid)) (noise can
+    # collide with the original value only with probability 0)
+    np.testing.assert_array_equal(changed, want)
+    # replacements only among valid slots, noise within scaled range
+    assert ((fake != ob) <= (mask > 0)).all()
+    assert fake[fake != ob].min() >= -2.5 and fake[fake != ob].max() <= 2.5
+
+
+def test_augment_batch_masked(rng):
+    ob = rng.randn(2, 6, 10).astype(np.float32)
+    ts = (6 * rng.rand(2, 6, 10)).astype(np.float32)
+    mask = (rng.rand(2, 6, 10) < 0.5).astype(np.float32)
+    ob2, ts2 = augment_batch(
+        jnp.asarray(ob), jnp.asarray(ts), jnp.asarray(mask), jax.random.PRNGKey(0), 0.1
+    )
+    ob2, ts2 = np.asarray(ob2), np.asarray(ts2)
+    assert (ob2[mask == 0] == 0).all() and (ts2[mask == 0] == 0).all()
+    assert np.abs(ob2[mask == 1] - ob[mask == 1]).max() < 1.0
+    assert np.abs(ts2[mask == 1] - ts[mask == 1]).max() < 0.1
+
+
+def test_extract_abnormal_vitals(rng):
+    eids = ["a", "b"]
+    enc = pd.DataFrame({"encounter_deiden_id": eids})
+    frames = {}
+    for v in USE_FEATURES:
+        frames[v] = pd.DataFrame(
+            {
+                "encounter_deiden_id": ["a", "a", "a", "b"],
+                "time_stamp": [5.5, 6.2, 6.8, 3.0],  # only 6.2/6.8 in window for a
+                "measurement": [100.0, 80.0, 120.0, 90.0],
+            }
+        )
+    out = extract_abnormal_vitals(frames, enc, hours_from_admission=6)
+    lo, hi = MIN_MAX_VALUES["sbp"]
+    assert abs(out.loc[0, "sbp"] - (80.0 - lo) / (hi - lo)) < 1e-6  # min
+    lo, hi = MIN_MAX_VALUES["heartRate"]
+    assert abs(out.loc[0, "heartRate"] - (120.0 - lo) / (hi - lo)) < 1e-6  # max
+    assert np.isnan(out.loc[1, "sbp"])  # encounter b has no window obs
