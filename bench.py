@@ -1,0 +1,164 @@
+"""Headline benchmark: pretrain train-step throughput (encounters/sec).
+
+Measures the framework's jitted data-parallel train step at the reference's
+production shapes (batch 256, C=6, T=354, R=6 — p1_pretrain_main.py
+defaults) on whatever accelerator is available, and — when torch can build
+the reference model (it is pure torch; /root/reference imported read-only
+with a stub for its missing `warmup_scheduler` dependency) — times the
+reference's forward+backward+step on the host CPU for the
+`vs_baseline` ratio (BASELINE.md: ≥20x target).
+
+Prints ONE JSON line:
+  {"metric": "pretrain_throughput", "value": N, "unit": "encounters/sec",
+   "vs_baseline": R}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 256
+C, T, HOURS = 6, 354, 6
+WARMUP, STEPS = 3, 20
+
+
+def make_batch(rng, b):
+    mask = np.zeros((b, C, T), np.float32)
+    counts = rng.randint(20, T + 1, size=(b, C))
+    for i in range(b):
+        for j in range(C):
+            mask[i, j, : counts[i, j]] = 1.0
+    ob = (rng.rand(b, C, T).astype(np.float32) * 5.0 - 2.5) * mask
+    ts = np.sort(rng.rand(b, C, T).astype(np.float32) * HOURS, axis=-1) * mask
+    ae = mask * (rng.rand(b, C, T) > 0.2).astype(np.float32)
+    fv = rng.rand(b, C).astype(np.float32)
+    fvm = (rng.rand(b, C) < 0.9).astype(np.float32)
+    return ob, mask, ts, ae, fv, fvm
+
+
+def bench_ours() -> float:
+    import jax
+
+    from deep_interpolation_clustering_tpu import Config
+    from deep_interpolation_clustering_tpu.models import init_net
+    from deep_interpolation_clustering_tpu.parallel import (
+        make_mesh,
+        replicate_tree,
+        shard_batch,
+    )
+    from deep_interpolation_clustering_tpu.train import make_optimizer, make_train_step
+
+    cfg = Config(batch_size=BATCH, num_timestamps=T)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 and BATCH % n_dev == 0 else None
+
+    key = jax.random.PRNGKey(0)
+    params, state = init_net(key, cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        params = replicate_tree(mesh, params)
+        state = replicate_tree(mesh, state)
+        opt_state = replicate_tree(mesh, opt_state)
+
+    rng = np.random.RandomState(0)
+    ob, mask, ts, ae, fv, fvm = make_batch(rng, BATCH)
+    batch = {
+        "ob": ob, "padding_mask": mask, "timestamp": ts, "ae_mask": ae,
+        "future_vital": fv, "future_vital_mask": fvm,
+    }
+    batch = shard_batch(mesh, batch)
+    step = make_train_step(cfg, optimizer, denoise=False)
+
+    for i in range(WARMUP):
+        params, state, opt_state, losses = step(
+            params, state, opt_state, batch, jax.random.PRNGKey(i)
+        )
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        params, state, opt_state, losses = step(
+            params, state, opt_state, batch, jax.random.PRNGKey(100 + i)
+        )
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def bench_reference() -> float:
+    """Reference torch model, forward+loss+backward+step on host CPU."""
+    import types
+
+    sys.modules.setdefault(
+        "warmup_scheduler", types.SimpleNamespace(GradualWarmupScheduler=object)
+    )
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from pretrain_interp import Net  # noqa: E402  (reference, read-only)
+
+    args = types.SimpleNamespace(
+        num_variables=C, num_timestamps=T, hours_from_admission=HOURS,
+        ref_points=6, dropout=0.2, fake_detection=True, triple_margin=0.0,
+        aux_tasks={"future_vital": 0.5},
+        aux_pos_weights={"future_vital": 1.0},
+        unsup_aux_tasks={"fake_detection": 1.0},
+        loss="ae_mse_sup_fake_detect", scale=5,
+    )
+    device = torch.device("cpu")
+    model = Net(args, device).to(device)
+    opt = torch.optim.Adam(model.parameters(), lr=3e-3, amsgrad=True, weight_decay=4e-4)
+
+    rng = np.random.RandomState(0)
+    ob, mask, ts, ae, fv, fvm = make_batch(rng, BATCH)
+    x = torch.tensor(np.concatenate([ob, mask, ts, ae], axis=1))
+    fake = x.clone()
+    perm = torch.randperm(2 * BATCH)
+    label = torch.cat([torch.ones(BATCH), torch.zeros(BATCH)])[perm].to(torch.int64)
+    fv_t, fvm_t = torch.tensor(fv), torch.tensor(fvm)
+    ob_t, mask_t = torch.tensor(ob), torch.tensor(mask)
+
+    def one_step():
+        opt.zero_grad()
+        hidden, rec, aux = model(x, fake, perm, None)
+        rec_d = model.rec_loss(ob_t, rec, mask_t)
+        aux_d = model.sup_aux_loss(args.aux_tasks, {"future_vital": fv_t}, aux, fvm_t)
+        fake_d = model.fake_det_loss(label, aux["fake_det"])
+        tasks = dict(args.aux_tasks); tasks.update(args.unsup_aux_tasks)
+        losses = dict(aux_d); losses.update(fake_d)
+        loss_d = model.multi_task_loss(tasks, rec_d, losses)
+        loss_d["loss"].backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 15.0)
+        opt.step()
+
+    one_step()  # warmup
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        one_step()
+    dt = time.perf_counter() - t0
+    return BATCH * n / dt
+
+
+def main():
+    ours = bench_ours()
+    try:
+        ref = bench_reference()
+        vs = ours / ref
+    except Exception as e:
+        print(f"reference baseline unavailable: {e}", file=sys.stderr)
+        vs = None
+    print(json.dumps({
+        "metric": "pretrain_throughput",
+        "value": round(ours, 1),
+        "unit": "encounters/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

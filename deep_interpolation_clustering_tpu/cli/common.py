@@ -1,0 +1,106 @@
+"""Shared CLI plumbing: Config-driven argparse, run directories, data io.
+
+The reference duplicates ~35 argparse flags across four entry scripts
+(p1_pretrain_main.py:18-101, p3_clustering_main.py:17-105, p2:29-42,
+p4:30-40). Here the flag surface is generated from the `Config` dataclass —
+every field becomes `--<name>`; dict/tuple-valued fields take JSON — so the
+CLI can never drift from the config. `--config <path>` reloads a previous
+run's JSON with CLI overrides winning (reference utils.py:44-57).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..data import ArrayDataset
+from ..info import COHORTS
+from ..utils import logger, set_seed
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", default=None, help="path to a saved config.json")
+    for f in dataclasses.fields(Config):
+        flag = f"--{f.name}"
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+            default = f.default_factory()  # type: ignore[misc]
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(flag, type=_str2bool, default=None, metavar="BOOL")
+        elif isinstance(default, int):
+            p.add_argument(flag, type=int, default=None)
+        elif isinstance(default, float) or f.name == "stopping_delta":
+            p.add_argument(flag, type=float, default=None)
+        elif isinstance(default, (dict, tuple, list)):
+            p.add_argument(flag, type=str, default=None, help="JSON value")
+        else:
+            p.add_argument(flag, type=str, default=None)
+    return p
+
+
+def _str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is None:
+            continue
+        if isinstance(f.default, (dict, tuple)) or (
+            f.default_factory is not dataclasses.MISSING  # type: ignore[misc]
+        ):
+            v = json.loads(v)
+            if isinstance(f.default, tuple):
+                v = tuple(v)
+        overrides[f.name] = v
+    if args.config:
+        return Config.load(args.config, **overrides)
+    return Config(**overrides)
+
+
+# ------------------------------------------------------------- data io
+def processed_dir(cfg: Config) -> str:
+    return os.path.join(cfg.base_path, "model_data", "split_processed")
+
+
+def save_processed(cfg: Config, splits: Dict[str, Dict[str, np.ndarray]]) -> None:
+    d = processed_dir(cfg)
+    os.makedirs(d, exist_ok=True)
+    for cohort, data in splits.items():
+        path = os.path.join(d, f"{cohort}.pickle")
+        with open(path, "wb") as f:
+            pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+        logger.info("wrote %s (%d encounters)", path, len(data["encounter_id"]))
+
+
+def load_processed(cfg: Config) -> Dict[str, Dict[str, np.ndarray]]:
+    d = processed_dir(cfg)
+    out = {}
+    for cohort in COHORTS:
+        with open(os.path.join(d, f"{cohort}.pickle"), "rb") as f:
+            out[cohort] = pickle.load(f)
+    return out
+
+
+def make_datasets(cfg: Config) -> Dict[str, ArrayDataset]:
+    splits = load_processed(cfg)
+    return {c: ArrayDataset(cfg, d, c) for c, d in splits.items()}
+
+
+def init_run(cfg: Config, stage: str) -> str:
+    set_seed(cfg.seed)
+    exp_path = os.path.join(cfg.results_path, stage)
+    os.makedirs(exp_path, exist_ok=True)
+    cfg.save(exp_path)
+    logger.info("run dir: %s", exp_path)
+    return exp_path

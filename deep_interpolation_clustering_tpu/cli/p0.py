@@ -1,0 +1,93 @@
+"""p0 — offline data preprocessing CLI.
+
+Mirrors the reference entry `python p0_data_process.py` (p0_data_process.py:
+135-204): grid raw per-vital long-format data into dense planes, mean-impute
+empty channels with training means, hold out 20% of observations for the
+denoising-AE loss, and min-max normalize — then write
+`{base_path}/model_data/split_processed/{cohort}.pickle`.
+
+Two sources:
+  * `--raw_dir DIR` — a directory with `encounter.csv`, `vitals.pickle`
+    (dict vital -> long dataframe), `split_ids.pickle` (cohort -> id list),
+    the reference's private-cohort format.
+  * `--synthetic N` — the built-in synthetic cohort generator, so the whole
+    p0→p4 pipeline runs anywhere (BASELINE.json configs[0]).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from ..data import generate_data, make_synthetic_cohorts, process_splits
+from ..data.abnormal import extract_abnormal_vitals
+from ..info import COHORTS
+from ..utils import logger, set_seed
+from .common import build_parser, config_from_args, save_processed
+
+
+def main(argv=None):
+    parser = build_parser(__doc__)
+    parser.add_argument("--raw_dir", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_max_obs", type=int, default=48)
+    parser.add_argument("--synthetic_phenotypes", type=int, default=4)
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    set_seed(cfg.seed)
+    rng = np.random.RandomState(cfg.seed)
+
+    if args.synthetic:
+        splits = make_synthetic_cohorts(
+            n_total=args.synthetic,
+            hours=cfg.hours_from_admission,
+            max_obs=args.synthetic_max_obs,
+            n_phenotypes=args.synthetic_phenotypes,
+            seed=cfg.seed,
+        )
+    elif args.raw_dir:
+        import pandas as pd
+
+        encounter = pd.read_csv(os.path.join(args.raw_dir, "encounter.csv"))
+        with open(os.path.join(args.raw_dir, "vitals.pickle"), "rb") as f:
+            vital_data = pickle.load(f)
+        with open(os.path.join(args.raw_dir, "split_ids.pickle"), "rb") as f:
+            split_ids = pickle.load(f)
+        # restrict to the first `hours` like the reference (p0:27-28)
+        vital_data = {
+            k: df[df["time_stamp"] <= cfg.hours_from_admission]
+            for k, df in vital_data.items()
+        }
+        splits = {}
+        for cohort in COHORTS:
+            splits[cohort] = generate_data(split_ids[cohort], vital_data)
+        # hour-(h+1) abnormal-vital aux targets (get_abnormal_vital.py:55-78)
+        with open(os.path.join(args.raw_dir, "vitals.pickle"), "rb") as f:
+            vital_24h = pickle.load(f)
+        aux = extract_abnormal_vitals(vital_24h, encounter, cfg.hours_from_admission)
+        aux_path = os.path.join(cfg.base_path, "next_hour_abnormal_norm_val.csv")
+        os.makedirs(cfg.base_path, exist_ok=True)
+        aux.to_csv(aux_path, index=False)
+        logger.info("wrote %s", aux_path)
+        # attach per-cohort future-vital arrays
+        aux = aux.set_index("encounter_deiden_id")
+        from ..info import USE_FEATURES
+
+        for cohort in COHORTS:
+            ids = splits[cohort]["encounter_id"]
+            fv = np.full((len(ids), len(USE_FEATURES)), np.nan)
+            present = [i for i, e in enumerate(ids) if e in aux.index]
+            fv[present] = aux.loc[[ids[i] for i in present], list(USE_FEATURES)].values
+            splits[cohort]["future_vital"] = fv
+    else:
+        parser.error("one of --raw_dir or --synthetic is required")
+
+    process_splits(splits, holdout_frac=cfg.holdout_frac, rng=rng,
+                   norm_method=cfg.norm_method)
+    save_processed(cfg, splits)
+
+
+if __name__ == "__main__":
+    main()

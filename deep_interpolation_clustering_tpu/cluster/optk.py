@@ -1,0 +1,274 @@
+"""p2 — optimal-K selection: elbow, gap statistic, DBSCAN/OPTICS explorers.
+
+The reference's K-selection stage (p2_clustering_optK.py:45-420) runs
+sklearn KMeans per K on the CPU with O(n^2) pairwise-distance inertias.
+Here the hot path — KMeans fits, distortions, both gap-statistic inertia
+variants, and the internal validity indices — is entirely on-device
+(cluster.kmeans / cluster.metrics); DBSCAN and OPTICS stay host-side
+sklearn since they are exploratory analytics, with the kneed dependency
+replaced by our own Kneedle (cluster.kneedle).
+
+Outputs mirror the reference: per-K CSV tables (`gap_sts_v{1,2}.csv`) and
+optional matplotlib plots, plus what the reference leaves to the human —
+automatic suggestions: the Kneedle elbow of the distortion curve and the
+Tibshirani rule `min k : gap(k) >= gap(k+1) - s(k+1)` for the gap curve.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..utils import logger
+from .kmeans import kmeans_fit, mean_min_distance
+from .kneedle import kneedle
+from .metrics import compute_internal_metrics, inertia_v1, inertia_v2
+
+
+def _maybe_plot(fn):
+    """Run a plotting closure if matplotlib is importable; never fatal."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fn(plt)
+    except Exception as e:  # pragma: no cover
+        logger.warning("plotting skipped: %s", e)
+
+
+class KSelection:
+    """KMeans-based K selection (reference `KM`, p2:226-410)."""
+
+    def __init__(self, cfg: Config, out_path: str):
+        self.cfg = cfg
+        self.out_path = os.path.join(out_path, "plot")
+        os.makedirs(self.out_path, exist_ok=True)
+
+    # ------------------------------------------------------------ elbow
+    def elbow(
+        self,
+        train_feat: np.ndarray,
+        valid_feat: np.ndarray,
+        seed: int = 0,
+        plot: bool = True,
+    ) -> Dict:
+        """Distortion (mean min distance to center) for K=2..k_max on train
+        and valid (reference p2:254-274), plus the Kneedle elbow."""
+        ks = list(range(2, self.cfg.k_max + 1))
+        train_d, valid_d = [], []
+        for k in ks:
+            logger.info("elbow: running K=%d", k)
+            result = kmeans_fit(
+                jax.random.PRNGKey(seed + k), train_feat, k, n_init=self.cfg.n_init
+            )
+            train_d.append(float(mean_min_distance(result.centers, train_feat)))
+            valid_d.append(float(mean_min_distance(result.centers, valid_feat)))
+        knee = kneedle(np.array(ks), np.array(train_d), "convex", "decreasing")
+        out = {"k": ks, "train": train_d, "valid": valid_d, "elbow_k": knee}
+        with open(os.path.join(self.out_path, "elbow.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["k", "train_distortion", "valid_distortion"])
+            w.writerows(zip(ks, train_d, valid_d))
+        if plot:
+            def draw(plt):
+                for cohort, d in (("train", train_d), ("valid", valid_d)):
+                    plt.figure()
+                    plt.plot(ks, d, "bx-")
+                    plt.xlabel("Cluster Count", fontsize=18)
+                    plt.ylabel("Distortion", fontsize=18)
+                    plt.title("The Elbow method showing the optimal k", fontsize=20)
+                    plt.savefig(os.path.join(self.out_path, f"{cohort}_elbow.png"))
+                    plt.close()
+            _maybe_plot(draw)
+        return out
+
+    # ----------------------------------------------------- gap statistic
+    def gap_statistic(
+        self,
+        data: np.ndarray,
+        version: int = 1,
+        seed: int = 0,
+        internal_metric_names: Optional[Sequence[str]] = None,
+        plot: bool = True,
+    ) -> Dict:
+        """Gap = E[log W_ref] - log W_act over B uniform reference draws
+        spanning the data's global scalar range (reference p2:353-410).
+        `version` selects the inertia (1: mean-of-mean-pairwise; 2:
+        Tibshirani sum D_r/(2 n_r))."""
+        cfg = self.cfg
+        names = list(internal_metric_names or cfg.internal_metrics)
+        inertia = inertia_v1 if version == 1 else inertia_v2
+        data = np.asarray(data, np.float32)
+        lo, rng_width = float(data.min()), float(data.max() - data.min())
+        rng = np.random.RandomState(seed)
+        rows: List[Dict] = []
+        ks = list(range(2, cfg.k_max + 1))
+        for k in ks:
+            logs = []
+            for b in range(cfg.gap_b):
+                ref = (
+                    rng.random_sample(data.shape).astype(np.float32) * rng_width + lo
+                )
+                r = kmeans_fit(
+                    jax.random.PRNGKey(seed * 1000 + k * 17 + b),
+                    ref, k, n_init=cfg.n_init,
+                )
+                logs.append(np.log(float(inertia(ref, r.labels, k))))
+            ref_mean, ref_std = float(np.mean(logs)), float(np.std(logs))
+            ref_s = float(np.sqrt(1 + 1 / cfg.gap_b) * ref_std)
+            r = kmeans_fit(jax.random.PRNGKey(seed * 1000 + k), data, k, n_init=cfg.n_init)
+            act = float(np.log(float(inertia(data, r.labels, k))))
+            row = {
+                "k": k,
+                "gap": ref_mean - act,
+                "ref": ref_mean,
+                "act": act,
+                "ref_s": ref_s,
+            }
+            labels = np.asarray(r.labels)
+            row.update(compute_internal_metrics(names, data, labels, k))
+            logger.info(
+                "k: %d, gap: %.4f, ref: %.4f, act: %.4f, ref_s: %.4f",
+                k, row["gap"], ref_mean, act, ref_s,
+            )
+            rows.append(row)
+
+        # Tibshirani rule: smallest k with gap(k) >= gap(k+1) - s(k+1)
+        opt_k = None
+        for i in range(len(rows) - 1):
+            if rows[i]["gap"] >= rows[i + 1]["gap"] - rows[i + 1]["ref_s"]:
+                opt_k = rows[i]["k"]
+                break
+
+        csv_path = os.path.join(self.out_path, f"gap_sts_v{version}.csv")
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        if plot:
+            def draw(plt):
+                plt.figure(figsize=(9, 6))
+                plt.plot(ks, [r["gap"] for r in rows], marker="o")
+                plt.xlabel("Number of clusters K")
+                plt.ylabel("gap")
+                plt.savefig(os.path.join(self.out_path, f"gap_statistic-1_v{version}.png"))
+                plt.close()
+                plt.figure(figsize=(9, 6))
+                for key in ("gap", "ref", "act"):
+                    plt.plot(ks, [r[key] for r in rows], marker="o", label=key)
+                plt.legend()
+                plt.xlabel("Number of clusters K")
+                plt.ylabel("log(inertia)")
+                plt.savefig(os.path.join(self.out_path, f"gap_statistic-2_v{version}.png"))
+                plt.close()
+            _maybe_plot(draw)
+        return {"rows": rows, "opt_k": opt_k, "csv": csv_path}
+
+    def select_opt_k(
+        self, train_feat: np.ndarray, valid_feat: np.ndarray, seed: int = 0
+    ) -> Dict:
+        """Dispatch over the configured methods (reference Cluster.select_opt_k)."""
+        out = {}
+        for method in self.cfg.select_opt_k:
+            if method == "elbow":
+                out["elbow"] = self.elbow(train_feat, valid_feat, seed)
+            elif method == "gap_sts":
+                out["gap_sts"] = self.gap_statistic(train_feat, version=1, seed=seed)
+            else:
+                raise ValueError(f"unknown K-selection method {method!r}")
+        return out
+
+
+# --------------------------------------------------- density explorers
+class DbscanExplorer:
+    """k-distance graph + eps sweep (reference `Dbscan`, p2:90-168).
+    Host-side sklearn; the eps knee uses our Kneedle."""
+
+    def __init__(self, cfg: Config, out_path: str, min_samples: int = 258):
+        self.cfg = cfg
+        self.min_samples = min_samples
+        self.out_path = os.path.join(out_path, "plot")
+        os.makedirs(self.out_path, exist_ok=True)
+
+    def k_distance_graph(self, feat: np.ndarray, plot: bool = True) -> Dict:
+        from sklearn.neighbors import NearestNeighbors
+
+        k = self.min_samples - 1
+        nn = NearestNeighbors(n_neighbors=k).fit(feat)
+        dist, _ = nn.kneighbors(feat)
+        kth = np.sort(dist[:, -1])
+        idx = np.arange(len(kth))
+        knee_x = kneedle(idx, kth, curve="convex", direction="increasing")
+        knee_eps = float(kth[int(knee_x)]) if knee_x is not None else None
+        if plot:
+            def draw(plt):
+                plt.figure()
+                plt.plot(idx, kth)
+                plt.xlabel("Points sorted by distance")
+                plt.ylabel(f"{k}-NN distance")
+                plt.savefig(os.path.join(self.out_path, "k_distance_graph.png"))
+                plt.close()
+            _maybe_plot(draw)
+        return {"kth_distances": kth, "knee_eps": knee_eps}
+
+    def eps_sweep(
+        self, feat: np.ndarray, eps_values: Optional[Sequence[float]] = None
+    ) -> List[Dict]:
+        from sklearn.cluster import DBSCAN
+        from sklearn.metrics import silhouette_score as sk_silhouette
+
+        if eps_values is None:
+            eps_values = np.arange(0.5, 5.0, 0.5)
+        rows = []
+        for eps in eps_values:
+            labels = DBSCAN(eps=eps, min_samples=self.min_samples).fit_predict(feat)
+            n_clusters = len(set(labels)) - (1 if -1 in labels else 0)
+            n_noise = int(np.sum(labels == -1))
+            row = {"eps": float(eps), "n_clusters": n_clusters, "n_noise": n_noise}
+            mask = labels != -1
+            if n_clusters >= 2:
+                row["silhouette_with_noise"] = float(sk_silhouette(feat, labels))
+                if mask.sum() and len(set(labels[mask])) >= 2:
+                    row["silhouette_wo_noise"] = float(
+                        sk_silhouette(feat[mask], labels[mask])
+                    )
+            rows.append(row)
+            logger.info("dbscan eps sweep: %s", row)
+        return rows
+
+
+class OpticsExplorer:
+    """OPTICS reachability exploration (reference `Optics`, p2:171-223)."""
+
+    def __init__(self, cfg: Config, out_path: str, min_samples: int = 258):
+        self.cfg = cfg
+        self.min_samples = min_samples
+        self.out_path = os.path.join(out_path, "plot")
+        os.makedirs(self.out_path, exist_ok=True)
+
+    def run(self, feat: np.ndarray, method: str = "xi", plot: bool = True) -> Dict:
+        from sklearn.cluster import OPTICS
+
+        kwargs = (
+            {"cluster_method": "xi", "xi": 0.05}
+            if method == "xi"
+            else {"cluster_method": "dbscan", "eps": self.cfg.opt_eps}
+        )
+        model = OPTICS(min_samples=self.min_samples, **kwargs).fit(feat)
+        reach = model.reachability_[model.ordering_]
+        if plot:
+            def draw(plt):
+                plt.figure()
+                plt.plot(np.arange(len(reach)), reach)
+                plt.ylabel("Reachability distance")
+                plt.savefig(os.path.join(self.out_path, "optics_reachability.png"))
+                plt.close()
+            _maybe_plot(draw)
+        return {"labels": model.labels_, "reachability": reach}

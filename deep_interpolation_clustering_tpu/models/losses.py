@@ -19,20 +19,37 @@ Array = jax.Array
 
 
 def rec_loss(org_ob: Array, rec_ob: Array, padding_mask: Array) -> Dict[str, Array]:
-    """Masked sum-MSE over observed points / #observed (reference :169-175)."""
-    diff = (rec_ob - org_ob) * padding_mask
+    """Masked sum-MSE over observed points / #observed (reference :169-175).
+
+    `where` (not multiply) so the NaN/-inf garbage a shape-padded all-zero-mask
+    row produces through the interpolation logsumexp never reaches the sum."""
+    diff = jnp.where(padding_mask == 1.0, rec_ob - org_ob, 0.0)
     num = jnp.sum(padding_mask == 1.0)
     mse = jnp.sum(jnp.square(diff)) / num
     return {"loss": mse, "ae_mse": mse}
 
 
-def bce_with_logits(logits: Array, targets: Array, pos_weight: float) -> Array:
+def _masked_mean(x: Array, mask: Optional[Array]) -> Array:
+    """Mean over valid rows; identical to `jnp.mean` when `mask` is None.
+
+    The mask marks real rows of a shape-padded batch (parallel.pad_batch_to)
+    so padding never perturbs the metrics — for an unpadded batch this is
+    exactly the reference's plain means.
+    """
+    if mask is None:
+        return jnp.mean(x)
+    return jnp.sum(jnp.where(mask > 0, x, 0.0)) / jnp.sum(mask)
+
+
+def bce_with_logits(
+    logits: Array, targets: Array, pos_weight: float, sample_mask: Optional[Array] = None
+) -> Array:
     """torch F.binary_cross_entropy_with_logits with pos_weight, mean reduced:
     l = -[pw * y * log sigmoid(x) + (1-y) * log(1 - sigmoid(x))]."""
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
     loss = -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
-    return jnp.mean(loss)
+    return _masked_mean(loss, sample_mask)
 
 
 def sup_aux_loss(
@@ -40,35 +57,49 @@ def sup_aux_loss(
     aux_label: Dict[str, Array],
     aux_pred: Dict[str, Array],
     future_vital_mask: Optional[Array],
+    sample_mask: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Masked MSE for future-vital regression + weighted BCE for binary
     outcome tasks (reference :177-196)."""
     out: Dict[str, Array] = {}
     if "future_vital" in cfg.aux_tasks:
-        true = aux_label["future_vital"] * future_vital_mask
-        pred = aux_pred["future_vital"] * future_vital_mask
-        num = jnp.sum(future_vital_mask == 1.0)
-        out["future_vital"] = jnp.sum(jnp.square(pred - true)) / num
+        fv_mask = future_vital_mask
+        if sample_mask is not None:
+            fv_mask = fv_mask * sample_mask[:, None]
+        diff = jnp.where(
+            fv_mask == 1.0, aux_pred["future_vital"] - aux_label["future_vital"], 0.0
+        )
+        num = jnp.sum(fv_mask == 1.0)
+        out["future_vital"] = jnp.sum(jnp.square(diff)) / num
     for task in cfg.aux_tasks:
         if task == "future_vital":
             continue
         out[task] = bce_with_logits(
-            aux_pred[task], aux_label[task], cfg.aux_pos_weights[task]
+            aux_pred[task], aux_label[task], cfg.aux_pos_weights[task], sample_mask
         )
     return out
 
 
-def fake_det_loss(label: Array, log_probs: Array) -> Dict[str, Array]:
-    """NLL over log-softmax outputs, mean reduced (reference :198-200)."""
+def fake_det_loss(
+    label: Array, log_probs: Array, row_mask: Optional[Array] = None
+) -> Dict[str, Array]:
+    """NLL over log-softmax outputs, mean reduced (reference :198-200).
+    `row_mask` marks real rows of the permuted real+fake concat."""
     picked = jnp.take_along_axis(log_probs, label[:, None].astype(jnp.int32), axis=1)
-    return {"fake_detection": -jnp.mean(picked)}
+    return {"fake_detection": -_masked_mean(picked[:, 0], row_mask)}
 
 
-def kl_loss(label: Array, pred: Array) -> Dict[str, Array]:
+def kl_loss(
+    label: Array, pred: Array, sample_mask: Optional[Array] = None
+) -> Dict[str, Array]:
     """Batch-mean KL(p || q) — torch F.kl_div(pred.log(), label,
     reduction='batchmean') (reference clustering_interp.py:205-207)."""
     pointwise = jax.scipy.special.xlogy(label, label) - label * jnp.log(pred)
-    return {"kl": jnp.sum(pointwise) / label.shape[0]}
+    per_row = jnp.sum(pointwise, axis=1)
+    if sample_mask is None:
+        return {"kl": jnp.sum(per_row) / label.shape[0]}
+    per_row = jnp.where(sample_mask > 0, per_row, 0.0)
+    return {"kl": jnp.sum(per_row) / jnp.sum(sample_mask)}
 
 
 def triplet_loss(
@@ -109,6 +140,8 @@ def compute_losses(
     aux_label: Dict[str, Array],
     future_vital_mask: Optional[Array],
     fake_det_label: Optional[Array],
+    sample_mask: Optional[Array] = None,
+    fake_row_mask: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Dispatch on `cfg.loss_components` — the data-driven replacement for
     the reference's loss-name elif chains."""
@@ -122,11 +155,13 @@ def compute_losses(
     if "sup" in comps:
         task_weights.update(cfg.aux_tasks)
         task_losses.update(
-            sup_aux_loss(cfg, aux_label, net_out.aux, future_vital_mask)
+            sup_aux_loss(cfg, aux_label, net_out.aux, future_vital_mask, sample_mask)
         )
     if "fake" in comps:
         task_weights.update(cfg.unsup_aux_tasks)
-        task_losses.update(fake_det_loss(fake_det_label, net_out.aux["fake_det"]))
+        task_losses.update(
+            fake_det_loss(fake_det_label, net_out.aux["fake_det"], fake_row_mask)
+        )
     if "triplet" in comps:
         task_weights.update(cfg.unsup_aux_tasks)
         task_losses.update(
@@ -140,6 +175,8 @@ def compute_losses(
     if "kl" in comps:
         task_weights.update(cfg.unsup_aux_tasks)
         task_losses.update(
-            kl_loss(net_out.aux["cluster_label"], net_out.aux["cluster_pred"])
+            kl_loss(
+                net_out.aux["cluster_label"], net_out.aux["cluster_pred"], sample_mask
+            )
         )
     return multi_task_loss(task_weights, rec, task_losses)

@@ -101,6 +101,7 @@ def forward(
     positive_x: Optional[Array] = None,
     train: bool = False,
     key: Optional[Array] = None,
+    sample_mask: Optional[Array] = None,
 ) -> NetOutput:
     """Full forward pass (reference pretrain_interp.py:130-167,
     clustering_interp.py:134-189)."""
@@ -154,6 +155,8 @@ def forward(
         q = soft_assignment(params["cluster_centers"], cat_hidden, cfg.dec_alpha)
         aux["cluster_pred"] = q
         # .detach() in the reference (clustering_interp.py:186)
-        aux["cluster_label"] = jax.lax.stop_gradient(target_distribution(q))
+        aux["cluster_label"] = jax.lax.stop_gradient(
+            target_distribution(q, sample_mask)
+        )
 
     return NetOutput(cat_hidden, rec, aux, new_state)

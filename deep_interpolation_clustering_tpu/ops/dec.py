@@ -29,10 +29,15 @@ def soft_assignment(centers: Array, batch: Array, alpha: float = 1.0) -> Array:
     return numerator / jnp.sum(numerator, axis=1, keepdims=True)
 
 
-def target_distribution(q: Array) -> Array:
+def target_distribution(q: Array, sample_mask: Array = None) -> Array:
     """DEC target p_ij = (q^2/f_j) / sum_j'(q^2/f_j'), f_j = sum_i q_ij
     (reference dec.py:66-76). Callers must stop gradients through the
     result, matching the reference's `.detach()`
-    (clustering_interp.py:186)."""
-    weight = jnp.square(q) / jnp.sum(q, axis=0)
+    (clustering_interp.py:186). `sample_mask` excludes shape-padding rows
+    from the cluster-frequency sums f_j."""
+    if sample_mask is None:
+        f = jnp.sum(q, axis=0)
+    else:
+        f = jnp.sum(jnp.where(sample_mask[:, None] > 0, q, 0.0), axis=0)
+    weight = jnp.square(q) / f
     return weight / jnp.sum(weight, axis=1, keepdims=True)

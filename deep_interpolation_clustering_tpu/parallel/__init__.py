@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    replicate_tree,
+    pad_batch_to,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate_tree",
+    "pad_batch_to",
+]

@@ -1,0 +1,150 @@
+"""DEC joint fine-tuning runtime (p3).
+
+Extends the pretrain trainer (reference clustering_trainer.TrainerCluster,
+clustering_trainer.py:21-545):
+  * Phase 1 — cluster-center initialization: partial restore of the p1
+    checkpoint (filtered strict=False load, :431-447), latents extracted on
+    the training cohort, k-means (n_init=20) fit — here the k-means runs
+    on-device instead of the GPU→CPU→sklearn round-trip (:74-82) — and the
+    centers written into the `cluster_centers` param leaf. 'random' init
+    draws uniformly within the per-dimension latent range (:84-93).
+  * Phase 2 — joint epochs with the added KL loss; after each epoch the
+    validation cluster assignments are re-predicted and `delta` = fraction
+    of changed argmax labels becomes both a monitored checkpoint metric and
+    the stopping criterion (`delta < stopping_delta`, :118-124, 473-484).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cluster.kmeans import kmeans_fit, kmeans_predict
+from ..config import Config
+from ..data.loader import ArrayDataset
+from ..utils import logger, timer
+from . import checkpoint as ckpt
+from .trainer import Trainer, _fmt
+
+
+class ClusterTrainer(Trainer):
+    clustering = True
+
+    def __init__(
+        self,
+        cfg: Config,
+        datasets: Dict[str, ArrayDataset],
+        exp_path: str,
+        pretrain_exp_path: Optional[str] = None,
+        mesh=None,
+        use_tensorboard: bool = True,
+    ):
+        super().__init__(cfg, datasets, exp_path, mesh, use_tensorboard)
+        self.pretrain_exp_path = pretrain_exp_path
+
+    @property
+    def restore_metric(self) -> str:
+        # DEC checkpoints restore on their own metric (reference p3:29)
+        return self.cfg.dc_restore_metric
+
+    # ------------------------------------------------- phase 1: init
+    def load_pretrain_weight(self) -> None:
+        """Filtered partial load of the p1 checkpoint: only keys present in
+        this model are taken; the DEC head keeps its init
+        (reference clustering_trainer.py:431-447)."""
+        path = os.path.join(
+            self.pretrain_exp_path, "weight", self.cfg.restore_metric, ckpt.CKPT_NAME
+        )
+        _, p_params, p_state, _, _ = ckpt.load_checkpoint(path)
+        merged_p, loaded = ckpt.partial_restore(jax.device_get(self.params), p_params)
+        merged_s, _ = ckpt.partial_restore(jax.device_get(self.state), p_state)
+        self.params = jax.tree_util.tree_map(jnp.asarray, merged_p)
+        self.state = jax.tree_util.tree_map(jnp.asarray, merged_s)
+        logger.info("=> loaded %d pretrain leaves from %s", len(loaded), path)
+
+    def generate_pretrain_feat(self, cohort: str, denoise: bool = False):
+        from ..info import COHORT2SCOPE
+
+        metrics, dumps = self.eval_one_epoch(
+            COHORT2SCOPE[cohort], self.datasets[cohort], denoise
+        )
+        logger.info("%s %s", cohort, _fmt(metrics))
+        return self.merge_ob_pred(self.datasets[cohort], dumps)
+
+    def init_centers(self) -> Optional[np.ndarray]:
+        """Returns the previous validation cluster prediction (or None)."""
+        cfg = self.cfg
+        mode = cfg.init_cluster_center
+        if mode == "none":
+            return None
+        self.load_pretrain_weight()
+        train_feat = self.generate_pretrain_feat("training")
+        hidden = train_feat["hidden"]
+        if mode == "kmeans":
+            km_key = jax.random.PRNGKey(cfg.seed)
+            result = kmeans_fit(
+                km_key, hidden, cfg.cluster_number, n_init=cfg.kmeans_n_init
+            )
+            centers = np.asarray(result.centers)
+            valid_feat = self.generate_pretrain_feat("validation")
+            valid_prev = np.asarray(
+                kmeans_predict(result.centers, valid_feat["hidden"])
+            )
+        elif mode == "random":
+            lo, hi = hidden.min(axis=0), hidden.max(axis=0)
+            rng = np.random.RandomState(cfg.seed)
+            centers = rng.uniform(lo, hi, size=(cfg.cluster_number, hidden.shape[-1]))
+            valid_prev = None
+        else:
+            raise ValueError(f"unknown init_cluster_center {mode!r}")
+        self.params = dict(self.params)
+        self.params["cluster_centers"] = jnp.asarray(centers, jnp.float32)
+        logger.info("***** cluster initialize %s done *****", mode)
+        return valid_prev
+
+    # ------------------------------------------------- phase 2: epochs
+    def generate_pred_cluster(
+        self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray], denoise=False
+    ) -> Tuple[float, np.ndarray, Dict[str, float]]:
+        metrics, dumps = self.eval_one_epoch(scope, ds, denoise)
+        ob_pred = self.merge_ob_pred(ds, dumps)
+        cluster_pred = np.argmax(ob_pred["cluster_pred"], axis=1)
+        if prev_pred is None:
+            delta = 1.0
+        else:
+            delta = float(np.sum(cluster_pred != prev_pred) / prev_pred.shape[0])
+        return delta, cluster_pred, metrics
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        valid_prev = self.init_centers()
+        last_valid: Dict[str, float] = {}
+        with timer("Duration of training"):
+            while self.epoch < cfg.max_epochs:
+                train_metrics = self.train_one_epoch(
+                    self.datasets["training"], denoise=cfg.denoise
+                )
+                logger.info("==> Epoch %d train %s", self.epoch, _fmt(train_metrics))
+
+                delta, valid_pred, valid_metrics = self.generate_pred_cluster(
+                    "valid", self.datasets["validation"], valid_prev
+                )
+                logger.info("Epoch %d: valid delta of label change: %s", self.epoch, delta)
+                valid_metrics["delta"] = delta
+                last_valid = valid_metrics
+                self.aly_pred("valid", valid_metrics)
+
+                if self.epoch % cfg.update_interval == 0:
+                    if cfg.stopping_delta is not None and delta < cfg.stopping_delta:
+                        logger.info(
+                            'Early stopping as label delta "%1.5f" < "%1.5f".',
+                            delta, cfg.stopping_delta,
+                        )
+                        break
+                    valid_prev = valid_pred
+                self.epoch += 1
+        return last_valid

@@ -1,0 +1,182 @@
+"""Jitted train / eval steps.
+
+The reference's per-batch host work — fake-sample generation in DataLoader
+workers (dataloader.py:182-193), label shuffling via `torch.randperm`
+(pretrain_trainer.py:160-165), Gaussian augmentation (dataloader.py:196-217)
+— all moves *inside* the compiled step as functions of `(batch, key)`: zero
+host↔device traffic beyond the batch itself, and every step reproducible
+from its PRNG key.
+
+Under a data mesh the batch is sharded on axis 0 and parameters are
+replicated; XLA turns the loss/gradient reductions into `psum`s over ICI,
+and the batch-norm / fake-permutation / target-distribution batch reductions
+stay *global-batch* semantics exactly like the reference's single process
+(SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..data.loader import augment_batch, make_fake_ob
+from ..models import forward
+from ..models.losses import compute_losses
+from ..ops.interpolation import split_planes
+
+Array = jax.Array
+
+
+def build_inputs(
+    cfg: Config, batch: Dict[str, Array], key: Array, train: bool, denoise: bool
+) -> Dict[str, Any]:
+    """Assemble the stacked model inputs from a batch dict.
+
+    Mirrors the reference's per-batch assembly (pretrain_trainer.py:130-185):
+    `ob` is re-masked, optionally denoised (`ob * ae_mask` as model input
+    while the loss target stays the full `ob`), the fake batch is generated
+    and its labels permuted, and the optional triplet positive is a
+    Gaussian-jittered copy.
+    """
+    k_aug, k_fake, k_perm, k_pos_ob, k_pos_ts = jax.random.split(key, 5)
+    ob = batch["ob"]
+    padding_mask = batch["padding_mask"]
+    timestamp = batch["timestamp"]
+    ae_mask = batch["ae_mask"]
+
+    if train and cfg.aug_input:
+        ob, timestamp = augment_batch(ob, timestamp, padding_mask, k_aug, cfg.aug_std)
+
+    ob = ob * padding_mask
+
+    def stack(o):
+        o_in = o * ae_mask if denoise else o
+        return jnp.concatenate([o_in, padding_mask, timestamp, ae_mask], axis=1)
+
+    x = stack(ob)
+    out: Dict[str, Any] = {
+        "x": x,
+        "ob": ob,
+        "padding_mask": padding_mask,
+        "fake_x": None,
+        "fake_perm_idx": None,
+        "fake_det_label": None,
+        "fake_row_mask": None,
+        "positive_x": None,
+    }
+
+    sample_mask = batch.get("sample_mask")
+    out["sample_mask"] = sample_mask
+
+    if cfg.fake_detection:
+        fake_ob = make_fake_ob(ob, padding_mask, k_fake, cfg.scale) * padding_mask
+        out["fake_x"] = stack(fake_ob)
+        b = ob.shape[0]
+        label = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
+        perm = jax.random.permutation(k_perm, 2 * b)
+        out["fake_perm_idx"] = perm
+        out["fake_det_label"] = label[perm].astype(jnp.int32)
+        if sample_mask is not None:
+            row_mask = jnp.concatenate([sample_mask, sample_mask])
+            out["fake_row_mask"] = row_mask[perm]
+
+    if cfg.triple_margin != 0.0 and cfg.fake_detection:
+        pos_ob = (ob + jax.random.normal(k_pos_ob, ob.shape) * cfg.triple_pos_std) * padding_mask
+        pos_ts = (timestamp + jax.random.normal(k_pos_ts, timestamp.shape) * 0.01) * padding_mask
+        out["positive_x"] = jnp.concatenate(
+            [pos_ob * ae_mask if denoise else pos_ob, padding_mask, pos_ts, ae_mask],
+            axis=1,
+        )
+
+    # supervised aux labels ride along untouched
+    out["aux_label"] = {t: batch[t] for t in cfg.aux_tasks if t in batch}
+    out["future_vital_mask"] = batch.get("future_vital_mask")
+    return out
+
+
+def _forward_and_losses(
+    params: Dict,
+    state: Dict,
+    cfg: Config,
+    inputs: Dict[str, Any],
+    train: bool,
+    key: Array,
+):
+    net_out = forward(
+        params,
+        state,
+        cfg,
+        inputs["x"],
+        fake_x=inputs["fake_x"],
+        fake_perm_idx=inputs["fake_perm_idx"],
+        positive_x=inputs["positive_x"],
+        train=train,
+        key=key,
+        sample_mask=inputs["sample_mask"],
+    )
+    losses = compute_losses(
+        cfg,
+        inputs["ob"],
+        inputs["padding_mask"],
+        net_out,
+        inputs["aux_label"],
+        inputs["future_vital_mask"],
+        inputs["fake_det_label"],
+        inputs["sample_mask"],
+        inputs["fake_row_mask"],
+    )
+    return net_out, losses
+
+
+def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, denoise: bool):
+    """Returns jitted `(params, state, opt_state, batch, key) ->
+    (params, state, opt_state, metrics)` with donated carries."""
+
+    def loss_fn(params, state, batch, key):
+        k_in, k_drop = jax.random.split(key)
+        inputs = build_inputs(cfg, batch, k_in, train=True, denoise=denoise)
+        net_out, losses = _forward_and_losses(params, state, cfg, inputs, True, k_drop)
+        return losses["loss"], (net_out.state, losses)
+
+    def train_step(params, state, opt_state, batch, key):
+        grads, (new_state, losses) = jax.grad(loss_fn, has_aux=True)(
+            params, state, batch, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_step(cfg: Config, denoise: bool):
+    """Returns jitted `(params, state, batch, key) -> (metrics, outputs)`.
+
+    `outputs` carries the per-sample dumps the reference collects in
+    `eval_one_epoch` (pretrain_trainer.py:346-353): the latent `hidden`,
+    `rec_ob`, and the aux-head predictions (including `cluster_pred` /
+    `cluster_label` in the DEC stage, which downstream p4 'dl' labeling
+    consumes — the reference's loader drops these by mistake,
+    p4_clustering_final.py:54).
+    """
+
+    def eval_step(params, state, batch, key):
+        inputs = build_inputs(cfg, batch, key, train=False, denoise=denoise)
+        net_out, losses = _forward_and_losses(
+            params, state, cfg, inputs, False, key
+        )
+        outputs = {"hidden": net_out.hidden, "rec_ob": net_out.rec}
+        for k, v in net_out.aux.items():
+            # rows of the fake-det / triplet branches are (2B)- or
+            # latent-shaped internals; per-sample dumps keep B-leading keys
+            if k in ("fake_det", "positive", "negative"):
+                continue
+            outputs[k] = v
+        return losses, outputs
+
+    return jax.jit(eval_step)

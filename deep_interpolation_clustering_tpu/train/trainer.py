@@ -1,0 +1,321 @@
+"""The pretrain training runtime (p1).
+
+Epoch driver with the reference's exact control surface
+(pretrain_trainer.py:17-438): train epoch → valid eval → `aly_pred`
+(epoch-level LR schedule + min-LR clamp, per-metric best checkpoints,
+patience early-stop) — but the per-batch work is one compiled XLA program
+over a data mesh instead of a Python loop over torch modules, and the
+feature dump / re-normalization path (:416-429) writes the same
+`{cohort}.npy` dict downstream p2-p4 consume.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.loader import ArrayDataset
+from ..info import COHORT2SCOPE, METRICS, MIN_MAX_VALUES
+from ..models import init_net
+from ..parallel import make_mesh, pad_batch_to, replicate_tree, shard_batch
+from ..utils import logger, timer, tree_size
+from . import checkpoint as ckpt
+from .optim import LRSchedule, get_learning_rate, make_optimizer, set_learning_rate
+from .steps import make_eval_step, make_train_step
+from .summary import Summary
+
+
+class Trainer:
+    """Interpolation-autoencoder pretraining (reference pretrain_trainer.Trainer)."""
+
+    clustering = False
+
+    def __init__(
+        self,
+        cfg: Config,
+        datasets: Dict[str, ArrayDataset],
+        exp_path: str,
+        mesh=None,
+        use_tensorboard: bool = True,
+    ):
+        self.cfg = cfg
+        self.datasets = datasets
+        self.exp_path = exp_path
+        self.mesh = mesh if mesh is not None else (
+            make_mesh(cfg.data_parallel) if cfg.data_parallel else None
+        )
+        self.n_shards = self.mesh.devices.size if self.mesh is not None else 1
+        if cfg.batch_size % self.n_shards:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size {self.n_shards}"
+            )
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.base_key, init_key = jax.random.split(key)
+        self.params, self.state = init_net(
+            init_key, cfg, clustering=self.clustering
+        )
+        self.optimizer = make_optimizer(cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            self.params = replicate_tree(self.mesh, self.params)
+            self.state = replicate_tree(self.mesh, self.state)
+            self.opt_state = replicate_tree(self.mesh, self.opt_state)
+
+        self.lr_schedule = LRSchedule(cfg)
+        self.epoch = 1
+        self.flag_dict = ckpt.FlagDict(METRICS)
+        self.weight_paths = ckpt.weight_dirs(os.path.join(exp_path, "weight"), METRICS)
+        self.summary = Summary(
+            os.path.join(exp_path, "summary"), use_tensorboard=use_tensorboard
+        )
+        cfg.save(exp_path)
+
+        # jitted steps, cached per denoise flag
+        self._train_steps: Dict[bool, callable] = {}
+        self._eval_steps: Dict[bool, callable] = {}
+
+        n_params = tree_size(self.params)
+        n_train = len(datasets["training"]) if "training" in datasets else 0
+        logger.info(
+            "trainable params: %d; train samples: %d; ratio %.3f",
+            n_params, n_train, n_params / max(n_train, 1),
+        )
+
+    # ------------------------------------------------------------- steps
+    def _train_step(self, denoise: bool):
+        if denoise not in self._train_steps:
+            self._train_steps[denoise] = make_train_step(
+                self.cfg, self.optimizer, denoise
+            )
+        return self._train_steps[denoise]
+
+    def _eval_step(self, denoise: bool):
+        if denoise not in self._eval_steps:
+            self._eval_steps[denoise] = make_eval_step(self.cfg, denoise)
+        return self._eval_steps[denoise]
+
+    def _epoch_key(self, epoch: int, salt: int = 0):
+        return jax.random.fold_in(jax.random.fold_in(self.base_key, epoch), salt)
+
+    # ------------------------------------------------------------- train
+    def train(self) -> Dict[str, float]:
+        if self.cfg.restore:
+            self.load_weight()
+        last_valid: Dict[str, float] = {}
+        with timer("Duration of training"):
+            while self.epoch < self.cfg.max_epochs:
+                train_metrics = self.train_one_epoch(
+                    self.datasets["training"], denoise=self.cfg.denoise
+                )
+                logger.info("==> Epoch %d train %s", self.epoch, _fmt(train_metrics))
+                valid_metrics, _ = self.eval_one_epoch(
+                    "valid", self.datasets["validation"], denoise=self.cfg.denoise
+                )
+                last_valid = valid_metrics
+                result = self.aly_pred("valid", valid_metrics)
+                self.epoch += 1
+                if result["early_stop"]:
+                    logger.info("======== best model: %s", self.flag_dict.to_dict())
+                    break
+        return last_valid
+
+    def train_one_epoch(self, ds: ArrayDataset, denoise: bool) -> Dict[str, float]:
+        cfg = self.cfg
+        step_fn = self._train_step(denoise)
+        epoch_key = self._epoch_key(self.epoch)
+        shuffle_rng = np.random.RandomState(cfg.seed + self.epoch)
+        metrics_acc: Dict[str, list] = defaultdict(list)
+        n_batches = ds.num_batches(cfg.batch_size, drop_last=self.n_shards > 1)
+
+        for i, batch in enumerate(
+            ds.iter_batches(
+                cfg.batch_size,
+                shuffle=True,
+                rng=shuffle_rng,
+                drop_last=self.n_shards > 1,
+            ),
+            start=1,
+        ):
+            batch.pop("index", None)
+            batch = shard_batch(self.mesh, batch)
+            key = jax.random.fold_in(epoch_key, i)
+            self.params, self.state, self.opt_state, losses = step_fn(
+                self.params, self.state, self.opt_state, batch, key
+            )
+            losses = jax.device_get(losses)
+            for k, v in losses.items():
+                metrics_acc[k].append(float(v))
+            if i % cfg.log_train_freq == 1:
+                logger.info(
+                    "%d-[%d/%d (%.0f%%)]: train-%s",
+                    self.epoch, i, n_batches, 100.0 * i / n_batches, _fmt(losses),
+                )
+                self.summary.add_summary(
+                    self.epoch * n_batches + i, scope="train_batch", **losses
+                )
+        out = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
+        self.summary.add_summary(self.epoch, scope="train", **out)
+        return out
+
+    # -------------------------------------------------------------- eval
+    def eval_one_epoch(
+        self, scope: str, ds: ArrayDataset, denoise: bool
+    ):
+        """No-grad mirror of the train epoch; collects per-sample dumps
+        (reference pretrain_trainer.py:243-366). Batches are shape-padded to
+        a single compiled shape; sample masks keep the metrics exact."""
+        cfg = self.cfg
+        step_fn = self._eval_step(denoise)
+        salt = int.from_bytes(scope.encode()[:4].ljust(4, b"\0"), "little")
+        epoch_key = self._epoch_key(self.epoch, salt=salt)
+        metrics_acc: Dict[str, list] = defaultdict(list)
+        dumps: Dict[str, list] = defaultdict(list)
+        n_batches = ds.num_batches(cfg.batch_size)
+
+        for i, batch in enumerate(ds.iter_batches(cfg.batch_size), start=1):
+            idx = batch.pop("index")
+            batch = pad_batch_to(batch, cfg.batch_size)
+            n_real = batch.pop("_n_real")
+            batch = shard_batch(self.mesh, batch)
+            key = jax.random.fold_in(epoch_key, i)
+            losses, outputs = step_fn(self.params, self.state, batch, key)
+            losses = jax.device_get(losses)
+            outputs = jax.device_get(outputs)
+            for k, v in losses.items():
+                metrics_acc[k].append(float(v))
+            for k, v in outputs.items():
+                dumps[k].append(np.asarray(v)[:n_real])
+            dumps["__index__"].append(idx)
+            if i % cfg.log_valid_freq == 1:
+                logger.info(
+                    "%d-[%d/%d (%.0f%%)]: %s-%s",
+                    self.epoch, i, n_batches, 100.0 * i / n_batches, scope, _fmt(losses),
+                )
+        metrics = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
+        return metrics, dumps
+
+    def merge_ob_pred(self, ds: ArrayDataset, dumps: Dict[str, list]) -> Dict[str, np.ndarray]:
+        """Merge batch dumps + the raw batch planes into one dict of arrays
+        (reference merge_ob_pred, pretrain_trainer.py:406-414)."""
+        idx = np.concatenate(dumps.pop("__index__"))
+        out: Dict[str, np.ndarray] = {
+            "encounter_id": np.asarray([ds.encounter_ids[j] for j in idx]),
+            "ob": ds.ob[idx].copy(),
+            "padding_mask": ds.padding_mask[idx],
+            "timestamp": ds.timestamp[idx],
+            "ae_mask": ds.ae_mask[idx],
+        }
+        for k, v in ds.aux.items():
+            out[k] = v[idx]
+        for k, v in dumps.items():
+            out[k] = np.concatenate(v, axis=0)
+        return out
+
+    def re_norm_data(self, ob_pred: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Undo the affine input scaling and the min-max normalization so
+        `ob`/`rec_ob` are in physical units (reference :416-429)."""
+        cfg = self.cfg
+        if cfg.norm_method != "minmax":
+            raise NotImplementedError(cfg.norm_method)
+        for k in ("ob", "rec_ob"):
+            data = ob_pred[k]
+            renorm = (data + cfg.scale / 2) / cfg.scale  # back to [0, 1]
+            for i, (lo, hi) in enumerate(MIN_MAX_VALUES.values()):
+                data[:, i, :] = renorm[:, i, :] * (hi - lo) + lo
+            ob_pred[k] = data
+        return ob_pred
+
+    def eval(
+        self,
+        cohort: str,
+        generate_feat: bool = False,
+        viz_feat: bool = False,
+        denoise: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Restore the best checkpoint and dump per-encounter features
+        (reference pretrain_trainer.py:90-117)."""
+        self.load_weight()
+        ds = self.datasets[cohort]
+        scope = COHORT2SCOPE[cohort]
+        if self.cfg.evaluate_interpolation:
+            denoise = True
+        metrics, dumps = self.eval_one_epoch(scope, ds, denoise)
+        logger.info("%s %s", scope, _fmt(metrics))
+        ob_pred = self.merge_ob_pred(ds, dumps)
+        ob_pred = self.re_norm_data(ob_pred)
+
+        if generate_feat:
+            folder = os.path.join(
+                self.exp_path, "out_feat", self.restore_metric
+            )
+            os.makedirs(folder, exist_ok=True)
+            suffix = "_interp_eval" if self.cfg.evaluate_interpolation else ""
+            np_f = os.path.join(folder, f"{cohort}{suffix}.npy")
+            np.save(np_f, ob_pred)  # dict payload, like the reference
+            logger.info("features saved to %s", np_f)
+        if viz_feat:
+            self.summary.add_embedding(ob_pred["hidden"], self.epoch, cohort)
+        return ob_pred
+
+    # ------------------------------------------------------ aly + ckpt
+    @property
+    def restore_metric(self) -> str:
+        return self.cfg.restore_metric
+
+    def aly_pred(self, scope: str, metric_dict: Dict[str, float]) -> Dict:
+        if scope == "valid":
+            self.lr_schedule.step(metric_dict.get("loss"))
+            set_learning_rate(self.opt_state, self.lr_schedule.lr)
+            metric_dict["lr"] = self.lr_schedule.lr
+            improved = self.flag_dict.improved(metric_dict, self.epoch)
+            for m in improved:
+                path = os.path.join(self.weight_paths[m], ckpt.CKPT_NAME)
+                ckpt.save_checkpoint(
+                    path, self.epoch, self.params, self.state, self.opt_state,
+                    extra={"lr": self.lr_schedule.lr, "metric": m},
+                )
+                logger.info("saving for %s", m)
+        self.summary.add_summary(self.epoch, scope=scope, **metric_dict)
+        logger.info("%s", _fmt(metric_dict))
+        return {
+            "early_stop": self.flag_dict.early_stop(
+                self.epoch, self.cfg.early_stopping
+            )
+        }
+
+    def load_weight(self, metric: Optional[str] = None) -> None:
+        metric = metric or self.restore_metric
+        path = os.path.join(self.weight_paths[metric], ckpt.CKPT_NAME)
+        if not os.path.exists(path):
+            logger.error("==> load fail: no checkpoint at %s", path)
+            return
+        epoch, params, state, opt_state, meta = ckpt.load_checkpoint(
+            path, opt_state_template=self.opt_state
+        )
+        self.epoch = epoch
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.state = jax.tree_util.tree_map(jnp.asarray, state)
+        if opt_state is not None:
+            self.opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+        if self.mesh is not None:
+            self.params = replicate_tree(self.mesh, self.params)
+            self.state = replicate_tree(self.mesh, self.state)
+            self.opt_state = replicate_tree(self.mesh, self.opt_state)
+        if "lr" in meta:
+            self.lr_schedule.lr = meta["lr"]
+            set_learning_rate(self.opt_state, meta["lr"])
+        logger.info("=> restored checkpoint %s (epoch %d)", path, epoch)
+
+
+def _fmt(d: Dict[str, float], decimals: int = 4) -> Dict[str, float]:
+    return {
+        k: (round(v, decimals) if isinstance(v, float) and k != "lr" else v)
+        for k, v in d.items()
+    }

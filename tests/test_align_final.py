@@ -1,0 +1,130 @@
+"""p4 alignment + final labeling, and the p2 K-selection driver."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.cluster import (
+    FinalLabeler,
+    KSelection,
+    align_labels,
+    align_labels_with_center,
+    generate_align_map,
+)
+from deep_interpolation_clustering_tpu.info import COHORTS
+
+
+def _fake_dump(rng, n, k, d=16, t=10, with_dl=False):
+    """A synthetic feature dump with planted latent clusters whose SBP
+    ordering is the reverse of their raw ids."""
+    centers = np.stack([np.full(d, 10.0 * i) for i in range(k)])
+    labels = rng.randint(0, k, n)
+    hidden = (centers[labels] + rng.randn(n, d) * 0.5).astype(np.float32)
+    ob = np.zeros((n, 6, t), np.float32)
+    padding = np.zeros((n, 6, t), np.float32)
+    padding[:, :, :5] = 1.0
+    # cluster i gets mean SBP = 100 + 10*i -> descending order reverses ids
+    ob[:, 0, :5] = (100.0 + 10.0 * labels)[:, None] + rng.randn(n, 5) * 0.1
+    d_out = {
+        "encounter_id": np.array([f"e{i}" for i in range(n)]),
+        "hidden": hidden,
+        "ob": ob,
+        "padding_mask": padding,
+    }
+    if with_dl:
+        q = np.full((n, k), 0.1 / (k - 1), np.float32)
+        q[np.arange(n), labels] = 0.9
+        d_out["cluster_pred"] = q
+        d_out["cluster_label"] = q
+    return d_out, labels
+
+
+def test_generate_align_map_orders_by_descending_sbp(rng):
+    d, labels = _fake_dump(rng, 200, 4)
+    align_map, aligned, centers = generate_align_map(
+        labels.copy(), d["ob"], d["padding_mask"], d["hidden"]
+    )
+    # raw cluster 3 has the highest SBP -> new id 0
+    assert align_map[3] == 0 and align_map[0] == 3
+    # relabeling consistent
+    np.testing.assert_array_equal(aligned, np.array([align_map[l] for l in labels]))
+    assert len(centers) == 4
+    # aligned center 0 is the latent mean of raw cluster 3
+    np.testing.assert_allclose(
+        centers[0], d["hidden"][labels == 3].mean(0), atol=1e-5
+    )
+
+
+def test_align_labels_with_center_bijection(rng):
+    d, labels = _fake_dump(rng, 200, 3)
+    _, aligned, centers = generate_align_map(
+        labels.copy(), d["ob"], d["padding_mask"], d["hidden"]
+    )
+    # a "validation" cohort with permuted raw ids must align to the same ids
+    perm = np.array([2, 0, 1])
+    other_raw = perm[labels]
+    out = align_labels_with_center(d["hidden"], other_raw.copy(), centers)
+    np.testing.assert_array_equal(out, aligned)
+
+
+def test_final_labeler_kmeans_path(tmp_path, rng):
+    cfg = Config(num_clusters=3, kmeans_n_init=5)
+    exp = str(tmp_path)
+    feat_dir = os.path.join(exp, "out_feat", "ae_mse")
+    os.makedirs(feat_dir)
+    truth = {}
+    for cohort in COHORTS:
+        d, labels = _fake_dump(rng, 150, 3)
+        np.save(os.path.join(feat_dir, f"{cohort}.npy"), d)
+        truth[cohort] = (d, labels)
+
+    results = FinalLabeler(cfg, exp).pred(metrics=["ae_mse"])
+    for cohort in COHORTS:
+        d, labels = truth[cohort]
+        got = results["ae_mse"][cohort]
+        # clusters recovered; ids are the SBP-descending relabeling (reverse)
+        np.testing.assert_array_equal(got, 2 - labels)
+        out_f = os.path.join(
+            exp, "out_feat", "ae_mse_kmeans_aligned", f"{cohort}_3.npy"
+        )
+        saved = np.load(out_f, allow_pickle=True).item()
+        np.testing.assert_array_equal(saved["cluster_id"], got)
+        assert "ob" not in saved  # dropped like the reference
+
+
+def test_final_labeler_dl_path(tmp_path, rng):
+    cfg = Config(cluster_method="dl")
+    exp = str(tmp_path)
+    feat_dir = os.path.join(exp, "out_feat", "ae_mse")
+    os.makedirs(feat_dir)
+    truth = {}
+    for cohort in COHORTS:
+        d, labels = _fake_dump(rng, 60, 4, with_dl=True)
+        np.save(os.path.join(feat_dir, f"{cohort}.npy"), d)
+        truth[cohort] = labels
+    results = FinalLabeler(cfg, exp).pred(metrics=["ae_mse"])
+    for cohort in COHORTS:
+        np.testing.assert_array_equal(results["ae_mse"][cohort], truth[cohort])
+
+
+def test_kselection_elbow_and_gap(tmp_path, rng):
+    cfg = Config(k_max=6, n_init=3, gap_b=3)
+    d, _ = _fake_dump(rng, 200, 4)
+    v, _ = _fake_dump(rng, 80, 4)
+    sel = KSelection(cfg, str(tmp_path))
+    out = sel.elbow(d["hidden"], v["hidden"], plot=False)
+    assert len(out["train"]) == 5
+    # distortion decreases with K
+    assert out["train"][0] > out["train"][-1]
+    assert out["elbow_k"] == 4  # planted K
+
+    gap = sel.gap_statistic(d["hidden"], version=1, plot=False)
+    assert os.path.exists(gap["csv"])
+    ks = [r["k"] for r in gap["rows"]]
+    assert ks == [2, 3, 4, 5, 6]
+    # gap rises until the planted K then flattens/drops -> Tibshirani picks <= 4
+    assert gap["opt_k"] is not None and gap["opt_k"] <= 4
+    # internal metrics present
+    assert "Sihouette" in gap["rows"][0]

@@ -1,0 +1,168 @@
+"""End-to-end trainer tests on a tiny synthetic cohort (CPU, 8 virtual devices)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.data import (
+    ArrayDataset,
+    make_synthetic_cohorts,
+    process_splits,
+)
+from deep_interpolation_clustering_tpu.parallel import make_mesh
+from deep_interpolation_clustering_tpu.train import Trainer, ClusterTrainer
+from deep_interpolation_clustering_tpu.train.optim import LRSchedule
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        batch_size=16,
+        num_timestamps=24,
+        max_epochs=3,
+        early_stopping=50,
+        log_train_freq=1000,
+        log_valid_freq=1000,
+        kmeans_n_init=3,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def cohorts():
+    raw = make_synthetic_cohorts(n_total=120, max_obs=24, seed=11)
+    return process_splits(raw, rng=np.random.RandomState(0))
+
+
+def make_datasets(cfg, cohorts):
+    return {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
+
+
+def test_pretrain_trainer_loss_decreases(tmp_path, cohorts):
+    cfg = tiny_cfg(max_epochs=4)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    m1, _ = tr.eval_one_epoch("valid", tr.datasets["validation"], denoise=False)
+    tr.train()
+    m2, _ = tr.eval_one_epoch("valid", tr.datasets["validation"], denoise=False)
+    assert m2["ae_mse"] < m1["ae_mse"]
+    # per-metric best checkpoints written
+    assert os.path.exists(tmp_path / "weight" / "loss" / "checkpoint.npz")
+    assert os.path.exists(tmp_path / "weight" / "ae_mse" / "checkpoint.npz")
+
+
+def test_pretrain_eval_dump_roundtrip(tmp_path, cohorts):
+    cfg = tiny_cfg(max_epochs=2)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    tr.train()
+    ob_pred = tr.eval("testing", generate_feat=True)
+    n = len(tr.datasets["testing"])
+    assert ob_pred["hidden"].shape == (n, cfg.dim_enc_hidden)
+    assert ob_pred["rec_ob"].shape == (n, cfg.num_variables, 24)
+    # re-normalized to physical units: sbp values at observed points in range
+    sbp = ob_pred["ob"][:, 0][ob_pred["padding_mask"][:, 0] > 0]
+    assert sbp.min() >= 20.0 and sbp.max() <= 300.0
+    path = tmp_path / "out_feat" / cfg.restore_metric / "testing.npy"
+    assert path.exists()
+    loaded = np.load(path, allow_pickle=True).item()
+    np.testing.assert_array_equal(loaded["hidden"], ob_pred["hidden"])
+
+
+def test_trainer_restore_continues(tmp_path, cohorts):
+    cfg = tiny_cfg(max_epochs=3)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    tr.train()
+    best_epoch = tr.flag_dict.best_epoch["ae_mse"]
+
+    cfg2 = tiny_cfg(max_epochs=3, restore=True, restore_metric="ae_mse")
+    tr2 = Trainer(cfg2, make_datasets(cfg2, cohorts), str(tmp_path), use_tensorboard=False)
+    tr2.load_weight()
+    assert tr2.epoch == best_epoch
+    # restored params equal saved ones
+    a = jax.device_get(tr.params) if best_epoch == tr.epoch else None
+    m, _ = tr2.eval_one_epoch("valid", tr2.datasets["validation"], denoise=False)
+    assert np.isfinite(m["loss"])
+
+
+def test_cluster_trainer_end_to_end(tmp_path, cohorts):
+    pre_cfg = tiny_cfg(max_epochs=2)
+    pre_path = str(tmp_path / "pretrain")
+    pre = Trainer(pre_cfg, make_datasets(pre_cfg, cohorts), pre_path, use_tensorboard=False)
+    pre.train()
+
+    cfg = tiny_cfg(
+        max_epochs=3,
+        loss="ae_mse_sup_fake_detect_kl",
+        cluster_number=3,
+        stopping_delta=None,
+    )
+    tr = ClusterTrainer(
+        cfg,
+        make_datasets(cfg, cohorts),
+        str(tmp_path / "cluster"),
+        pretrain_exp_path=pre_path,
+        use_tensorboard=False,
+    )
+    valid = tr.train()
+    assert "delta" in valid and "kl" in valid
+    ob_pred = tr.eval("testing", generate_feat=True)
+    n = len(tr.datasets["testing"])
+    # p4 'dl' path requirements: cluster_pred/cluster_label retained
+    assert ob_pred["cluster_pred"].shape == (n, 3)
+    assert ob_pred["cluster_label"].shape == (n, 3)
+    np.testing.assert_allclose(ob_pred["cluster_pred"].sum(1), 1.0, rtol=1e-4)
+
+
+def test_sharded_trainer_matches_single_device(tmp_path):
+    """Data-parallel over the 8-device CPU mesh must reproduce the
+    single-device epoch numerically (global-batch BN + loss reductions).
+    Cohort sized so the train split divides the batch evenly — both mesh
+    sizes then see identical batches."""
+    raw = make_synthetic_cohorts(
+        n_total=160, max_obs=24, seed=12, split=(0.8, 0.1, 0.1)
+    )
+    cohorts = process_splits(raw, rng=np.random.RandomState(0))
+    cfg = tiny_cfg(max_epochs=2, batch_size=16)
+    ds1 = make_datasets(cfg, cohorts)
+    ds8 = make_datasets(cfg, cohorts)
+
+    tr1 = Trainer(cfg, ds1, str(tmp_path / "one"), mesh=make_mesh(1), use_tensorboard=False)
+    tr8 = Trainer(cfg, ds8, str(tmp_path / "eight"), mesh=make_mesh(8), use_tensorboard=False)
+
+    m1 = tr1.train_one_epoch(ds1["training"], denoise=False)
+    m8 = tr8.train_one_epoch(ds8["training"], denoise=False)
+    # same seed, same data, same reduction semantics -> near-identical metrics
+    assert abs(m1["loss"] - m8["loss"]) < 1e-4
+
+    v1, _ = tr1.eval_one_epoch("valid", ds1["validation"], denoise=False)
+    v8, _ = tr8.eval_one_epoch("valid", ds8["validation"], denoise=False)
+    assert abs(v1["ae_mse"] - v8["ae_mse"]) < 1e-4
+
+
+def test_lr_schedules():
+    cfg = Config(init_lr=1.0, lr_decay_step_or_patience=2, lr_decay_rate=0.1, min_lr=1e-3)
+    s = LRSchedule(cfg)
+    assert s.step() == 1.0  # epoch 1 done; floor(1/2)=0
+    assert s.step() == pytest.approx(0.1)  # floor(2/2)=1
+    assert s.step() == pytest.approx(0.1)
+    assert s.step() == pytest.approx(0.01)
+    for _ in range(10):
+        lr = s.step()
+    assert lr == pytest.approx(1e-3)  # min clamp
+
+    cfg = Config(init_lr=1.0, lr_decay_mode="plateau", lr_decay_step_or_patience=1, lr_decay_rate=0.5)
+    s = LRSchedule(cfg)
+    assert s.step(1.0) == 1.0
+    assert s.step(0.5) == 1.0  # improvement
+    assert s.step(0.6) == 1.0  # bad 1
+    assert s.step(0.6) == 0.5  # bad 2 > patience -> decay
+
+    cfg = Config(init_lr=1.0, lr_decay_mode="warmup", warmup_multiplier=8, warmup_epochs=10,
+                 lr_decay_step_or_patience=20, lr_decay_rate=0.2)
+    s = LRSchedule(cfg)
+    lrs = [s.step() for _ in range(10)]
+    assert lrs[0] == pytest.approx(1.7)
+    assert lrs[-1] == pytest.approx(8.0)
