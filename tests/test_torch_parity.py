@@ -1,0 +1,198 @@
+"""North-star parity: same weights in -> same outputs out vs the torch
+reference, at 1e-5 (BASELINE.md). Builds the actual reference model from
+/root/reference (read-only import), copies its state_dict into our pytrees,
+and compares every output surface on identical inputs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# the reference's utils.py imports warmup_scheduler, absent here; stub it
+sys.modules.setdefault(
+    "warmup_scheduler", types.SimpleNamespace(GradualWarmupScheduler=object)
+)
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.compat import (
+    export_to_torch_state_dict,
+    import_torch_state_dict,
+)
+from deep_interpolation_clustering_tpu.models import forward
+
+B, C, T, R, HOURS = 8, 6, 30, 6, 6
+
+
+def _args(clustering=False):
+    ns = types.SimpleNamespace(
+        num_variables=C, num_timestamps=T, ref_points=R, hours_from_admission=HOURS,
+        dropout=0.2, fake_detection=True, triple_margin=0.0,
+        aux_tasks={"future_vital": 0.5},
+        loss="ae_mse_sup_fake_detect", scale=5,
+    )
+    if clustering:
+        ns.cluster_number = 4
+        ns.loss = "ae_mse_sup_fake_detect_kl"
+    return ns
+
+
+def _cfg(clustering=False):
+    return Config(
+        num_variables=C, num_timestamps=T, ref_points=R, hours_from_admission=HOURS,
+        cluster_number=4,
+    )
+
+
+def _planes(rng):
+    mask = np.zeros((B, C, T), np.float32)
+    for i in range(B):
+        for j in range(C):
+            mask[i, j, : rng.randint(3, T + 1)] = 1.0
+    ob = (rng.rand(B, C, T).astype(np.float32) * 5 - 2.5) * mask
+    ts = np.sort(rng.rand(B, C, T).astype(np.float32) * HOURS, axis=-1) * mask
+    ae = mask * (rng.rand(B, C, T) > 0.2).astype(np.float32)
+    return np.concatenate([ob, mask, ts, ae], axis=1)
+
+
+@pytest.fixture
+def inputs(rng):
+    x = _planes(rng)
+    fake_x = _planes(rng)
+    perm = rng.permutation(2 * B)
+    return x, fake_x, perm
+
+
+def _run_torch(net_cls, args, x, fake_x, perm, seed_centers=None):
+    model = net_cls(args, torch.device("cpu"))
+    if seed_centers is not None:
+        model.init_cluster_center(torch.tensor(seed_centers))
+    model.eval()
+    with torch.no_grad():
+        hidden, rec, aux = model(
+            torch.tensor(x), torch.tensor(fake_x), torch.tensor(perm), None
+        )
+    return model, hidden.numpy(), rec.numpy(), {
+        k: v.detach().numpy() for k, v in aux.items() if hasattr(v, "detach")
+    }
+
+
+def _run_ours(cfg, sd, x, fake_x, perm, clustering=False):
+    params, state = import_torch_state_dict(sd)
+    out = forward(params, state, cfg, x, fake_x=fake_x, fake_perm_idx=perm, train=False)
+    return params, state, out
+
+
+def test_pretrain_forward_parity(inputs):
+    from pretrain_interp import Net  # reference, read-only
+
+    x, fake_x, perm = inputs
+    model, t_hidden, t_rec, t_aux = _run_torch(Net, _args(), x, fake_x, perm)
+    _, _, out = _run_ours(_cfg(), model.state_dict(), x, fake_x, perm)
+
+    np.testing.assert_allclose(np.asarray(out.hidden), t_hidden, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.rec), t_rec, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.aux["future_vital"]), t_aux["future_vital"], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux["fake_det"]), t_aux["fake_det"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_clustering_forward_parity(inputs, rng):
+    from clustering_interp import Net  # reference, read-only
+
+    x, fake_x, perm = inputs
+    centers = rng.randn(4, 256).astype(np.float32)
+    model, t_hidden, t_rec, t_aux = _run_torch(
+        Net, _args(clustering=True), x, fake_x, perm, seed_centers=centers
+    )
+    _, _, out = _run_ours(_cfg(True), model.state_dict(), x, fake_x, perm, True)
+
+    np.testing.assert_allclose(np.asarray(out.hidden), t_hidden, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.aux["cluster_pred"]), t_aux["cluster_pred"], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux["cluster_label"]), t_aux["cluster_label"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_loss_parity(inputs):
+    """All loss surfaces at identical weights + inputs (pretrain variant)."""
+    from pretrain_interp import Net
+
+    x, fake_x, perm = inputs
+    args = _args()
+    model, t_hidden, t_rec, t_aux = _run_torch(Net, args, x, fake_x, perm)
+
+    rng2 = np.random.RandomState(1)
+    ob = x[:, :C]
+    mask = x[:, C : 2 * C]
+    fv = rng2.rand(B, C).astype(np.float32)
+    fvm = (rng2.rand(B, C) < 0.9).astype(np.float32)
+    label = np.concatenate([np.ones(B), np.zeros(B)])[perm].astype(np.int64)
+
+    with torch.no_grad():
+        t_rec_d = model.rec_loss(torch.tensor(ob), torch.tensor(t_rec), torch.tensor(mask))
+        t_aux_d = model.sup_aux_loss(
+            args.aux_tasks, {"future_vital": torch.tensor(fv)},
+            {k: torch.tensor(v) for k, v in t_aux.items()}, torch.tensor(fvm),
+        )
+        t_fake_d = model.fake_det_loss(
+            torch.tensor(label), torch.tensor(t_aux["fake_det"])
+        )
+
+    cfg = _cfg()
+    params, state, out = _run_ours(cfg, model.state_dict(), x, fake_x, perm)
+    from deep_interpolation_clustering_tpu.models.losses import (
+        fake_det_loss,
+        rec_loss,
+        sup_aux_loss,
+    )
+    import jax.numpy as jnp
+
+    ours_rec = rec_loss(jnp.asarray(ob), out.rec, jnp.asarray(mask))
+    np.testing.assert_allclose(
+        float(ours_rec["ae_mse"]), float(t_rec_d["ae_mse"]), rtol=1e-5
+    )
+    ours_aux = sup_aux_loss(cfg, {"future_vital": jnp.asarray(fv)}, out.aux, jnp.asarray(fvm))
+    np.testing.assert_allclose(
+        float(ours_aux["future_vital"]), float(t_aux_d["future_vital"]), rtol=1e-5
+    )
+    ours_fake = fake_det_loss(jnp.asarray(label), out.aux["fake_det"])
+    np.testing.assert_allclose(
+        float(ours_fake["fake_detection"]), float(t_fake_d["fake_detection"]), rtol=1e-5
+    )
+
+
+def test_export_roundtrip(inputs):
+    """export_to_torch_state_dict loads cleanly into the reference model and
+    reproduces our outputs — the reverse migration path."""
+    from pretrain_interp import Net
+
+    x, fake_x, perm = inputs
+    model = Net(_args(), torch.device("cpu"))
+    params, state = import_torch_state_dict(model.state_dict())
+    sd = export_to_torch_state_dict(params, state)
+
+    model2 = Net(_args(), torch.device("cpu"))
+    missing, unexpected = model2.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False
+    )
+    # only num_batches_tracked counters may be missing
+    assert all("num_batches_tracked" in k for k in missing)
+    assert not unexpected
+    model2.eval()
+    model.eval()
+    with torch.no_grad():
+        h1, r1, _ = model(torch.tensor(x), torch.tensor(fake_x), torch.tensor(perm), None)
+        h2, r2, _ = model2(torch.tensor(x), torch.tensor(fake_x), torch.tensor(perm), None)
+    np.testing.assert_allclose(h1.numpy(), h2.numpy(), atol=1e-6)
+    np.testing.assert_allclose(r1.numpy(), r2.numpy(), atol=1e-6)
