@@ -71,7 +71,10 @@ def bench_ours() -> float:
         "ob": ob, "padding_mask": mask, "timestamp": ts, "ae_mask": ae,
         "future_vital": fv, "future_vital_mask": fvm,
     }
-    batch = shard_batch(mesh, batch)
+    if mesh is not None:
+        batch = shard_batch(mesh, batch)
+    else:
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
     step = make_train_step(cfg, optimizer, denoise=False)
 
     for i in range(WARMUP):

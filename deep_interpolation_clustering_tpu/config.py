@@ -114,9 +114,13 @@ class Config:
     base_path: str = "Data"
     results_path: str = "Results"
 
-    # ---- parallelism ---------------------------------------------------
+    # ---- parallelism / kernels ------------------------------------------
     # number of devices in the data axis of the mesh; 0 = all local devices
     data_parallel: int = 0
+    # route the SCI interpolation + RBF decode through the fused Pallas TPU
+    # kernels (ops/pallas_interp.py); off-TPU they run interpreted (slow,
+    # tests only)
+    use_pallas: bool = False
     # computation dtype on the parity path must stay float32; bf16 is an
     # opt-in for throughput runs
     compute_dtype: str = "float32"

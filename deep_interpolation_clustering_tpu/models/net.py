@@ -81,7 +81,11 @@ def init_net(
 
 def _encode(params: Dict, cfg: Config, x: Array) -> Tuple[Array, Array, Array, Array]:
     """SCI -> CCI -> encoder. Returns (enc_out, hidden, cell, cat_hidden)."""
-    rep = sci_forward(
+    if cfg.use_pallas:
+        from ..ops.pallas_interp import sci_forward_pallas as sci_fn
+    else:
+        sci_fn = sci_forward
+    rep = sci_fn(
         params["sci"]["kernel"], x, cfg.ref_points, cfg.hours_from_admission
     )
     rep = cci_forward(params["cci"]["kernel"], rep)
@@ -110,7 +114,32 @@ def forward(
     k_rbf, k_future, k_aux, k_fake = jax.random.split(key, 4)
     new_state = dict(state)
 
-    enc_out, hidden, cell, cat_hidden = _encode(params, cfg, x)
+    # Run real / fake / triplet-positive streams through ONE batched encode:
+    # every encode op is per-sample (no batch coupling), so results are
+    # bit-identical to the reference's three sequential passes
+    # (pretrain_interp.py:130-166) while the latency-bound R-step LSTM chain
+    # executes once instead of three times.
+    b = x.shape[0]
+    streams = [x]
+    use_fake = cfg.fake_detection and fake_x is not None
+    use_triplet = use_fake and cfg.triple_margin != 0.0 and positive_x is not None
+    if use_fake:
+        streams.append(fake_x)
+    if use_triplet:
+        streams.append(positive_x)
+    if len(streams) > 1:
+        enc_out_all, hidden_all, cell_all, cat_all = _encode(
+            params, cfg, jnp.concatenate(streams, axis=0)
+        )
+        enc_out = enc_out_all[:, :b]
+        hidden = hidden_all[:, :b]
+        cell = cell_all[:, :b]
+        cat_hidden = cat_all[:b]
+        fake_cat_hidden = cat_all[b : 2 * b] if use_fake else None
+        pos_cat_hidden = cat_all[2 * b :] if use_triplet else None
+    else:
+        enc_out, hidden, cell, cat_hidden = _encode(params, cfg, x)
+        fake_cat_hidden = pos_cat_hidden = None
 
     dec_in = jax.nn.relu(enc_out)  # DecoderRNN ReLUs its input (:39)
     dec_out, _, _ = bilstm_forward(params["decoder"], dec_in, hidden, cell)
@@ -119,7 +148,7 @@ def forward(
     rec, new_state["rbf"] = rbf_decode(
         params["rbf"], state["rbf"], interp_data, x,
         cfg.ref_points, cfg.hours_from_admission, cfg.dropout, train, k_rbf,
-        cfg.rbf_basis,
+        cfg.rbf_basis, use_pallas=cfg.use_pallas,
     )
 
     aux: Dict[str, Array] = {}
@@ -137,8 +166,7 @@ def forward(
         for i, task in enumerate(t for t in cfg.aux_tasks if t != "future_vital"):
             aux[task] = y[:, i]
 
-    if cfg.fake_detection and fake_x is not None:
-        _, _, _, fake_cat_hidden = _encode(params, cfg, fake_x)
+    if use_fake:
         pos_neg = jnp.concatenate([cat_hidden, fake_cat_hidden], axis=0)
         pos_neg = pos_neg[fake_perm_idx]
         y, new_state["fake_det_head"] = nn.head_apply(
@@ -146,8 +174,7 @@ def forward(
             cfg.dropout, train, k_fake,
         )
         aux["fake_det"] = jax.nn.log_softmax(y, axis=1)
-        if cfg.triple_margin != 0.0 and positive_x is not None:
-            _, _, _, pos_cat_hidden = _encode(params, cfg, positive_x)
+        if use_triplet:
             aux["positive"] = pos_cat_hidden
             aux["negative"] = fake_cat_hidden
 

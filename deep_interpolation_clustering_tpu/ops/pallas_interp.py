@@ -1,0 +1,255 @@
+"""Fused Pallas TPU kernels for the interpolation hot ops.
+
+The two bandwidth-bound ops of the network (SURVEY.md §3.2) both sweep a
+`(B, C, T, R)` broadcast grid: SingleChannelInterp reduces it over T
+(irregular observations -> R reference points) and the RBF decoder reduces
+it over R (reference points -> irregular observations). The jnp versions
+let XLA materialize several (B, C, T, R) intermediates in HBM; these
+kernels flatten (B, C) into rows, tile rows across the grid, keep the whole
+T extent in VMEM, and unroll the tiny R=6 axis in registers — one HBM read
+of the (rows, T) planes, one write of the outputs, nothing else.
+
+Numerics are bit-compatible with `interpolation.sci_forward` /
+`rbf.rbf_decode`'s gaussian path (same masked logsumexp, same kappa=10
+transient sharpening, same `+1e-10` normalizer). Backward passes go through
+`jax.custom_vjp` with the jnp reference implementation, so training gets
+XLA's fused autodiff while the forward (the serving / feature-dump path)
+gets the handwritten kernel.
+
+Note on the (B, C, T, R) layout choice: T (lanes) is padded to 128s and
+rows (sublanes) to 8s; R never touches the memory layout at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .interpolation import TRANSIENT_KAPPA, reference_times, split_planes
+from .rbf import RBF_NORM_EPS
+
+Array = jax.Array
+
+_NEG_INF = -1e30  # large-negative stand-in for log(0); exp() underflows to 0
+
+
+def _interpret() -> bool:
+    """Run kernels through the interpreter off-TPU (tests on CPU meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ======================================================================
+# SingleChannelInterp: (B, 4C, T) -> (B, R, 3C), reduction over T
+# ======================================================================
+def _sci_kernel(x_ref, t_ref, neg_ref, alpha_ref, ref_t_ref, out_ref, *, r_pts):
+    """One row tile: x/t/neg are (TILE, T); alpha is (TILE, 1);
+    out is (TILE, 3*R) packed [y | w | y_trans] along the last axis."""
+    x = x_ref[:]
+    t = t_ref[:]
+    neg = neg_ref[:]  # 0 where observed, _NEG_INF where padded (= log mask)
+    alpha = alpha_ref[:]  # (TILE, 1)
+
+    ys, ws, yts = [], [], []
+    for r in range(r_pts):
+        ref_t = ref_t_ref[0, r]
+        d2 = jnp.square(t - ref_t)
+        logits = -alpha * d2 + neg
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=1, keepdims=True)
+        ws.append(m + jnp.log(s))  # (TILE, 1) logsumexp
+        ys.append(jnp.sum(e * x, axis=1, keepdims=True) / s)
+
+        logits_t = TRANSIENT_KAPPA * (-alpha * d2) + neg
+        m_t = jnp.max(logits_t, axis=1, keepdims=True)
+        e_t = jnp.exp(logits_t - m_t)
+        s_t = jnp.sum(e_t, axis=1, keepdims=True)
+        yts.append(jnp.sum(e_t * x, axis=1, keepdims=True) / s_t)
+
+    out_ref[:] = jnp.concatenate(ys + ws + yts, axis=1)
+
+
+def _sci_pallas_raw(
+    kernel: Array, x: Array, ref_points: int, hours_look_ahead: float
+) -> Array:
+    b, four_c, t_len = x.shape
+    c = kernel.shape[0]
+    x_t, mask, t_obs, _ = split_planes(x, c)
+    alpha = jnp.log1p(jnp.exp(kernel))  # softplus, matches sci_forward
+
+    rows = b * c
+    tile = 256
+    rows_pad = _round_up(rows, tile)
+    t_pad = _round_up(t_len, 128)
+
+    def prep(a, fill=0.0):
+        a = a.reshape(rows, t_len)
+        return jnp.pad(a, ((0, rows_pad - rows), (0, t_pad - t_len)),
+                       constant_values=fill)
+
+    xr = prep(x_t)
+    tr = prep(t_obs)
+    # log(mask): 0 where observed, -inf where padded; T-padding is also "padded"
+    neg = jnp.where(prep(mask, fill=0.0) > 0, 0.0, _NEG_INF)
+    alpha_rows = jnp.tile(alpha, b)
+    alpha_rows = jnp.pad(alpha_rows, (0, rows_pad - rows))[:, None]  # (rows, 1)
+    ref_t = reference_times(ref_points, hours_look_ahead, x.dtype)[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_sci_kernel, r_pts=ref_points),
+        grid=(rows_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ref_points), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, 3 * ref_points), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, 3 * ref_points), x.dtype),
+        interpret=_interpret(),
+    )(xr, tr, neg, alpha_rows, ref_t)
+
+    out = out[:rows].reshape(b, c, 3, ref_points)
+    # pack to (B, R, 3C) with channel-major [y_0..y_C | w_0..w_C | yt_0..yt_C]
+    out = jnp.transpose(out, (0, 2, 1, 3))  # (B, 3, C, R)
+    out = out.reshape(b, 3 * c, ref_points)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sci_forward_pallas(kernel, x, ref_points: int, hours_look_ahead: float):
+    """Drop-in replacement for `interpolation.sci_forward` with a fused
+    TPU kernel forward; backward runs XLA autodiff of the jnp reference."""
+    return _sci_pallas_raw(kernel, x, ref_points, hours_look_ahead)
+
+
+def _sci_fwd(kernel, x, ref_points, hours_look_ahead):
+    return _sci_pallas_raw(kernel, x, ref_points, hours_look_ahead), (kernel, x)
+
+
+def _sci_bwd(ref_points, hours_look_ahead, res, g):
+    from .interpolation import sci_forward
+
+    kernel, x = res
+    _, vjp = jax.vjp(lambda k, xx: sci_forward(k, xx, ref_points, hours_look_ahead),
+                     kernel, x)
+    return vjp(g)
+
+
+sci_forward_pallas.defvjp(_sci_fwd, _sci_bwd)
+
+
+# ======================================================================
+# RBF decode: (B, R, in) states + (B, 4C, T) raw -> (B, C, T), reduce over R
+# ======================================================================
+def _rbf_kernel(t_ref, m_ref, proj_ref, beta_ref, ref_t_ref, out_ref, *, r_pts):
+    """One row tile: t/m are (TILE, T); proj is (TILE, R); out (TILE, T)."""
+    t = t_ref[:]
+    m = m_ref[:]
+    beta = beta_ref[:]  # (TILE, 1)
+    num = jnp.zeros_like(t)
+    den = jnp.zeros_like(t)
+    for r in range(r_pts):
+        ref_t = ref_t_ref[0, r]
+        # gaussian basis on |t - ref_t| (the reference squares then sqrts,
+        # rbf.py:76; |.|^2 == (.)^2 so phi is identical)
+        phi = jnp.exp(-beta * jnp.square(t - ref_t)) * m
+        num = num + phi * proj_ref[:, r : r + 1]
+        den = den + phi
+    out_ref[:] = num / (den + RBF_NORM_EPS) * m
+
+
+def _rbf_pallas_raw(
+    kernel: Array, proj: Array, raw_input: Array,
+    ref_points: int, hours_look_ahead: float,
+) -> Array:
+    """`proj` is the compressed per-channel grid values (B, C, R) — the
+    CompressFC trunk stays in XLA (it is a dense matmul, already optimal)."""
+    b, c, _ = proj.shape
+    t_len = raw_input.shape[-1]
+    m = raw_input[:, c : 2 * c, :]
+    t_obs = raw_input[:, 2 * c : 3 * c, :]
+    beta = jnp.log1p(jnp.exp(kernel))
+
+    rows = b * c
+    tile = 256
+    rows_pad = _round_up(rows, tile)
+    t_pad = _round_up(t_len, 128)
+
+    def prep(a):
+        a = a.reshape(rows, t_len)
+        return jnp.pad(a, ((0, rows_pad - rows), (0, t_pad - t_len)))
+
+    tr, mr = prep(t_obs), prep(m)
+    proj_r = jnp.pad(proj.reshape(rows, ref_points), ((0, rows_pad - rows), (0, 0)))
+    beta_rows = jnp.pad(jnp.tile(beta, b), (0, rows_pad - rows))[:, None]
+    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_rbf_kernel, r_pts=ref_points),
+        grid=(rows_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, ref_points), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ref_points), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, t_pad), raw_input.dtype),
+        interpret=_interpret(),
+    )(tr, mr, proj_r, beta_rows, ref_t)
+
+    return out[:rows, :t_len].reshape(b, c, t_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def rbf_project_pallas(kernel, proj, raw_input, ref_points: int, hours_look_ahead: float):
+    """Fused RBF push of gridded per-channel values (B, C, R) back onto the
+    irregular observed timestamps -> (B, C, T)."""
+    return _rbf_pallas_raw(kernel, proj, raw_input, ref_points, hours_look_ahead)
+
+
+def _rbf_jnp_reference(kernel, proj, raw_input, ref_points, hours_look_ahead):
+    """jnp mirror of the kernel math (used for the custom backward)."""
+    c = proj.shape[1]
+    m = raw_input[:, c : 2 * c, :]
+    t_obs = raw_input[:, 2 * c : 3 * c, :]
+    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
+    beta = jnp.log1p(jnp.exp(kernel))
+    phi = jnp.exp(-beta[None, :, None, None] * jnp.square(t_obs[..., None] - ref_t))
+    phi = phi * m[..., None]
+    num = jnp.sum(phi * proj[:, :, None, :], axis=-1)
+    den = jnp.sum(phi, axis=-1)
+    return num / (den + RBF_NORM_EPS) * m
+
+
+def _rbf_fwd(kernel, proj, raw_input, ref_points, hours_look_ahead):
+    out = _rbf_pallas_raw(kernel, proj, raw_input, ref_points, hours_look_ahead)
+    return out, (kernel, proj, raw_input)
+
+
+def _rbf_bwd(ref_points, hours_look_ahead, res, g):
+    kernel, proj, raw_input = res
+    _, vjp = jax.vjp(
+        lambda k, p: _rbf_jnp_reference(k, p, raw_input, ref_points, hours_look_ahead),
+        kernel, proj,
+    )
+    dk, dp = vjp(g)
+    return dk, dp, None
+
+
+rbf_project_pallas.defvjp(_rbf_fwd, _rbf_bwd)

@@ -116,24 +116,16 @@ def rbf_decode(
     train: bool,
     dropout_key: Optional[Array] = None,
     basis: str = "gaussian",
+    use_pallas: bool = False,
 ) -> Tuple[Array, Dict]:
     """Decode `(B, R, in_dim)` gridded states to `(B, C, T)` observations.
 
     `raw_input` is the stacked `(B, 4C, T)` tensor; its mask and timestamp
     planes select where to evaluate (reference rbf.py:57-108).
+    `use_pallas` routes the gaussian RBF push through the fused TPU kernel
+    (ops/pallas_interp.py); the CompressFC matmul trunk always stays XLA.
     """
     out_dim = params["kernel"].shape[0]
-    m = raw_input[:, out_dim : 2 * out_dim, :]  # (B, C, T)
-    t_obs = raw_input[:, 2 * out_dim : 3 * out_dim, :]
-    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
-
-    # |t_obs - ref_t| — the reference computes (d^2)^0.5 (rbf.py:76)
-    distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)
-    beta = jnp.log1p(jnp.exp(params["kernel"]))  # softplus positivity (:78)
-
-    phi = basis_func_dict()[basis](beta[None, :, None, None], distances)
-    phi = phi * m[..., None]  # mask out padded observations (:96)
-    norm = jnp.sum(phi, axis=-1)  # (B, C, T)
 
     # CompressFC over the R reference points: (B, R, in) -> (B, R, C).
     # BatchNorm sees B*R rows, matching TimeDistributed+BatchNorm1d
@@ -146,6 +138,26 @@ def rbf_decode(
     )
     proj = proj.reshape(b_sz, r, out_dim)
     proj = jnp.transpose(proj, (0, 2, 1))  # (B, C, R)
+
+    if use_pallas and basis == "gaussian":
+        from .pallas_interp import rbf_project_pallas
+
+        y = rbf_project_pallas(
+            params["kernel"], proj, raw_input, ref_points, hours_look_ahead
+        )
+        return y, {"compress": compress_s}
+
+    m = raw_input[:, out_dim : 2 * out_dim, :]  # (B, C, T)
+    t_obs = raw_input[:, 2 * out_dim : 3 * out_dim, :]
+    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
+
+    # |t_obs - ref_t| — the reference computes (d^2)^0.5 (rbf.py:76)
+    distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)
+    beta = jnp.log1p(jnp.exp(params["kernel"]))  # softplus positivity (:78)
+
+    phi = basis_func_dict()[basis](beta[None, :, None, None], distances)
+    phi = phi * m[..., None]  # mask out padded observations (:96)
+    norm = jnp.sum(phi, axis=-1)  # (B, C, T)
 
     y = jnp.sum(phi * proj[:, :, None, :], axis=-1)  # (B, C, T)
     y = y / (norm + RBF_NORM_EPS) * m  # (:107)

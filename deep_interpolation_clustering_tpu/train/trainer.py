@@ -134,6 +134,11 @@ class Trainer:
         metrics_acc: Dict[str, list] = defaultdict(list)
         n_batches = ds.num_batches(cfg.batch_size, drop_last=self.n_shards > 1)
 
+        # Per-batch losses stay on device until the epoch ends — fetching
+        # them eagerly would force a host sync every step and serialize the
+        # H2D batch transfer with the compute (the torch reference has the
+        # same pipeline hazard via its .item() calls, :223).
+        pending: list = []
         for i, batch in enumerate(
             ds.iter_batches(
                 cfg.batch_size,
@@ -149,17 +154,19 @@ class Trainer:
             self.params, self.state, self.opt_state, losses = step_fn(
                 self.params, self.state, self.opt_state, batch, key
             )
-            losses = jax.device_get(losses)
-            for k, v in losses.items():
-                metrics_acc[k].append(float(v))
+            pending.append(losses)
             if i % cfg.log_train_freq == 1:
+                fetched = jax.device_get(losses)
                 logger.info(
                     "%d-[%d/%d (%.0f%%)]: train-%s",
-                    self.epoch, i, n_batches, 100.0 * i / n_batches, _fmt(losses),
+                    self.epoch, i, n_batches, 100.0 * i / n_batches, _fmt(fetched),
                 )
                 self.summary.add_summary(
-                    self.epoch * n_batches + i, scope="train_batch", **losses
+                    self.epoch * n_batches + i, scope="train_batch", **fetched
                 )
+        for losses in jax.device_get(pending):
+            for k, v in losses.items():
+                metrics_acc[k].append(float(v))
         out = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
         self.summary.add_summary(self.epoch, scope="train", **out)
         return out

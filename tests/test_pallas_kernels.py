@@ -1,0 +1,89 @@
+"""Fused Pallas kernels vs the jnp reference ops (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.models import forward, init_net
+from deep_interpolation_clustering_tpu.ops.interpolation import sci_forward
+from deep_interpolation_clustering_tpu.ops.pallas_interp import (
+    rbf_project_pallas,
+    _rbf_jnp_reference,
+    sci_forward_pallas,
+)
+
+B, C, T, R, HOURS = 4, 6, 30, 6, 6.0
+
+
+def _planes(rng, b=B, t=T):
+    mask = np.zeros((b, C, t), np.float32)
+    for i in range(b):
+        for j in range(C):
+            mask[i, j, : rng.randint(2, t + 1)] = 1.0
+    ob = rng.randn(b, C, t).astype(np.float32) * mask
+    ts = np.sort(rng.rand(b, C, t).astype(np.float32) * HOURS, axis=-1) * mask
+    return np.concatenate([ob, mask, ts, mask], axis=1)
+
+
+def test_sci_pallas_matches_jnp(rng):
+    x = _planes(rng)
+    kernel = rng.rand(C).astype(np.float32)
+    want = np.asarray(sci_forward(jnp.asarray(kernel), jnp.asarray(x), R, HOURS))
+    got = np.asarray(sci_forward_pallas(jnp.asarray(kernel), jnp.asarray(x), R, HOURS))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sci_pallas_grads_match(rng):
+    x = _planes(rng)
+    kernel = rng.rand(C).astype(np.float32)
+
+    def loss_ref(k, xx):
+        return jnp.sum(jnp.square(sci_forward(k, xx, R, HOURS)))
+
+    def loss_pl(k, xx):
+        return jnp.sum(jnp.square(sci_forward_pallas(k, xx, R, HOURS)))
+
+    gk_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(kernel), jnp.asarray(x))
+    gk_p, gx_p = jax.grad(loss_pl, argnums=(0, 1))(jnp.asarray(kernel), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+
+
+def test_rbf_pallas_matches_jnp(rng):
+    x = _planes(rng)
+    kernel = rng.rand(C).astype(np.float32)
+    proj = rng.randn(B, C, R).astype(np.float32)
+    want = np.asarray(
+        _rbf_jnp_reference(jnp.asarray(kernel), jnp.asarray(proj), jnp.asarray(x), R, HOURS)
+    )
+    got = np.asarray(
+        rbf_project_pallas(jnp.asarray(kernel), jnp.asarray(proj), jnp.asarray(x), R, HOURS)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_full_model_pallas_parity(rng):
+    """forward(use_pallas=True) == forward(use_pallas=False) end to end."""
+    cfg = Config(num_timestamps=T, fake_detection=False, aux_tasks={})
+    params, state = init_net(jax.random.PRNGKey(0), cfg)
+    x = _planes(rng)
+    out_ref = forward(params, state, cfg, x, train=False)
+    out_pl = forward(params, state, cfg.replace(use_pallas=True), x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pl.hidden), np.asarray(out_ref.hidden), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl.rec), np.asarray(out_ref.rec), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sci_pallas_nondivisible_shapes(rng):
+    """Row/T padding must be exact for shapes off the tile sizes."""
+    x = _planes(rng, b=3, t=47)
+    kernel = rng.rand(C).astype(np.float32)
+    want = np.asarray(sci_forward(jnp.asarray(kernel), jnp.asarray(x), R, HOURS))
+    got = np.asarray(sci_forward_pallas(jnp.asarray(kernel), jnp.asarray(x), R, HOURS))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
