@@ -1,0 +1,82 @@
+"""Scaled-config benchmark (BASELINE.json configs[4]): 100k-encounter
+cohort — full pretrain epochs through the real trainer (streaming host
+batches, data-parallel when >1 device) plus the on-device gap statistic
+over the latents.
+
+Prints one JSON line per phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.cluster import KSelection
+from deep_interpolation_clustering_tpu.data import (
+    ArrayDataset,
+    make_synthetic_cohorts,
+    process_splits,
+)
+from deep_interpolation_clustering_tpu.train import Trainer
+
+N = 100_000
+MAX_OBS = 48
+
+
+def main():
+    t0 = time.time()
+    cohorts = process_splits(
+        make_synthetic_cohorts(n_total=N, max_obs=MAX_OBS),
+        rng=np.random.RandomState(0),
+    )
+    print(json.dumps({"metric": "p0_100k_seconds", "value": round(time.time() - t0, 1)}))
+
+    cfg = Config(
+        batch_size=1024, num_timestamps=MAX_OBS, max_epochs=3,
+        log_train_freq=10_000, log_valid_freq=10_000, early_stopping=10_000,
+    )
+    datasets = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
+    tr = Trainer(cfg, datasets, "/tmp/scale100k_run", use_tensorboard=False)
+
+    # warmup epoch (compiles), then timed epochs
+    tr.train_one_epoch(datasets["training"], denoise=False)
+    t0 = time.time()
+    n_epochs = 2
+    for _ in range(n_epochs):
+        tr.epoch += 1
+        tr.train_one_epoch(datasets["training"], denoise=False)
+    dt = (time.time() - t0) / n_epochs
+    n_train = len(datasets["training"])
+    print(json.dumps({
+        "metric": "pretrain_epoch_seconds_100k", "value": round(dt, 2),
+        "encounters_per_sec": round(n_train / dt, 1),
+    }))
+
+    # latents for the full training cohort, then on-device gap statistic
+    t0 = time.time()
+    metrics, dumps = tr.eval_one_epoch("train", datasets["training"], denoise=False)
+    hidden = np.concatenate(dumps["hidden"], axis=0)
+    print(json.dumps({
+        "metric": "latent_extract_seconds_100k", "value": round(time.time() - t0, 2),
+        "shape": list(hidden.shape),
+    }))
+
+    t0 = time.time()
+    sel = KSelection(cfg.replace(k_max=8, n_init=3, gap_b=3), "/tmp/scale100k_run/optk")
+    gap = sel.gap_statistic(hidden, version=1, plot=False)
+    print(json.dumps({
+        "metric": "gap_statistic_seconds_100k_k2-8", "value": round(time.time() - t0, 1),
+        "opt_k": gap["opt_k"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,12 +75,23 @@ def main(argv=None):
         aux = aux.set_index("encounter_deiden_id")
         from ..info import USE_FEATURES
 
+        # binary outcome labels ride along from the encounter table when
+        # present (reference dataloader.py:81-113 joins outcome CSVs)
+        outcome_cols = [
+            c for c in ("AKI_overall", "mort_status_30d", "ICU")
+            if c in encounter.columns
+        ]
+        enc_idx = encounter.set_index("encounter_deiden_id")
         for cohort in COHORTS:
             ids = splits[cohort]["encounter_id"]
             fv = np.full((len(ids), len(USE_FEATURES)), np.nan)
             present = [i for i, e in enumerate(ids) if e in aux.index]
             fv[present] = aux.loc[[ids[i] for i in present], list(USE_FEATURES)].values
             splits[cohort]["future_vital"] = fv
+            for col in outcome_cols:
+                splits[cohort][col] = (
+                    enc_idx[col].reindex(ids).fillna(0).to_numpy(np.float32)
+                )
     else:
         parser.error("one of --raw_dir or --synthetic is required")
 

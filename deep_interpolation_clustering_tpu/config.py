@@ -121,6 +121,11 @@ class Config:
     # kernels (ops/pallas_interp.py); off-TPU they run interpreted (slow,
     # tests only)
     use_pallas: bool = False
+    # keep the whole training cohort resident in device HBM and gather
+    # batches on-device by index (one upload per cohort instead of one
+    # host->device transfer per batch); the 100k-encounter cohort is ~3.4 GB
+    # at T=354 — far under a v5e chip's HBM
+    device_data: bool = True
     # computation dtype on the parity path must stay float32; bf16 is an
     # opt-in for throughput runs
     compute_dtype: str = "float32"

@@ -103,6 +103,18 @@ class ArrayDataset:
         n = len(self)
         return n // batch_size if drop_last else -(-n // batch_size)
 
+    def arrays(self) -> Dict[str, np.ndarray]:
+        """All cohort planes + aux labels as one dict — the payload uploaded
+        once for device-resident (HBM) batching."""
+        d = {
+            "ob": self.ob,
+            "padding_mask": self.padding_mask,
+            "timestamp": self.timestamp,
+            "ae_mask": self.ae_mask,
+        }
+        d.update(self.aux)
+        return d
+
 
 # ------------------------------------------------------------------
 # device-side randomized transforms (jittable)

@@ -57,11 +57,6 @@ def make_synthetic_cohorts(
     phenos = rng.randint(0, n_phenotypes, size=n_total)
     t_max = max_obs
 
-    feat = np.zeros((n_total, c, t_max))
-    time_step = np.zeros((n_total, c, t_max))
-    padding_mask = np.zeros((n_total, c, t_max), dtype=np.int8)
-    future_vital = np.full((n_total, c), np.nan)
-
     counts = rng.randint(min_obs, max_obs + 1, size=(n_total, c))
     # a small fraction of channels entirely missing (exercises mean imputation)
     counts[rng.rand(n_total, c) < missing_channel_prob] = 0
@@ -69,31 +64,34 @@ def make_synthetic_cohorts(
     # per-encounter slow drift so the series aren't iid noise
     drift_amp = rng.randn(n_total, c) * 0.5 * _CHANNEL_STD
     drift_phase = rng.rand(n_total, c) * 2 * np.pi
+    base = shift[phenos] + rng.randn(n_total, c) * 0.5 * _CHANNEL_STD  # (N, C)
 
-    for i in range(n_total):
-        base = shift[phenos[i]] + rng.randn(c) * 0.5 * _CHANNEL_STD
-        for j in range(c):
-            k = counts[i, j]
-            if k == 0:
-                continue
-            ts = np.sort(rng.rand(k) * hours)
-            vals = (
-                base[j]
-                + drift_amp[i, j] * np.sin(ts / hours * 2 * np.pi + drift_phase[i, j])
-                + rng.randn(k) * 0.6 * _CHANNEL_STD[j]
-            )
-            lo, hi = MIN_MAX_VALUES[USE_FEATURES[j]]
-            vals = np.clip(vals, lo, hi)
-            feat[i, j, :k] = vals
-            time_step[i, j, :k] = ts
-            padding_mask[i, j, :k] = 1
+    # fully vectorized gridding: draw t_max candidates per (encounter,
+    # channel), sort the first k into the front slots, mask the rest —
+    # the 100k-encounter scaled cohort generates in seconds
+    padding_mask = (
+        np.arange(t_max)[None, None, :] < counts[:, :, None]
+    ).astype(np.int8)
+    ts_all = rng.rand(n_total, c, t_max) * hours
+    ts_all = np.where(padding_mask > 0, ts_all, np.inf)
+    ts_all = np.sort(ts_all, axis=2)  # valid stamps sorted, inf pushed back
+    time_step = np.where(padding_mask > 0, ts_all, 0.0)
 
-        # hour-7 extremes (min for sbp/dbp/spo2, max otherwise), ~90% observed
-        nxt = base + rng.randn(c) * 0.3 * _CHANNEL_STD
-        for j, name in enumerate(USE_FEATURES):
-            if rng.rand() < 0.9:
-                lo, hi = MIN_MAX_VALUES[name]
-                future_vital[i, j] = (np.clip(nxt[j], lo, hi) - lo) / (hi - lo)
+    vals = (
+        base[:, :, None]
+        + drift_amp[:, :, None]
+        * np.sin(time_step / hours * 2 * np.pi + drift_phase[:, :, None])
+        + rng.randn(n_total, c, t_max) * 0.6 * _CHANNEL_STD[None, :, None]
+    )
+    lo = np.array([MIN_MAX_VALUES[f][0] for f in USE_FEATURES])
+    hi = np.array([MIN_MAX_VALUES[f][1] for f in USE_FEATURES])
+    vals = np.clip(vals, lo[None, :, None], hi[None, :, None])
+    feat = np.where(padding_mask > 0, vals, 0.0)
+
+    # hour-7 extremes (min for sbp/dbp/spo2, max otherwise), ~90% observed
+    nxt = base + rng.randn(n_total, c) * 0.3 * _CHANNEL_STD
+    nxt = (np.clip(nxt, lo, hi) - lo) / (hi - lo)
+    future_vital = np.where(rng.rand(n_total, c) < 0.9, nxt, np.nan)
 
     # phenotype-correlated binary outcomes
     sev = phenos / max(n_phenotypes - 1, 1)

@@ -133,9 +133,27 @@ def _forward_and_losses(
     return net_out, losses
 
 
-def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, denoise: bool):
-    """Returns jitted `(params, state, opt_state, batch, key) ->
-    (params, state, opt_state, metrics)` with donated carries."""
+def gather_batch(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
+    """On-device batch assembly from an HBM-resident cohort: one `take`
+    per plane instead of a host->device transfer per batch. With a data
+    mesh, `data` is replicated and `idx` batch-sharded, so each shard
+    gathers only its rows."""
+    return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+
+
+def make_train_step(
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    denoise: bool,
+    gather: bool = False,
+):
+    """Returns a jitted train step with donated carries.
+
+    `gather=False`: `(params, state, opt_state, batch, key)` with the batch
+    streamed from host. `gather=True`: `(params, state, opt_state, data,
+    idx, key)` with the cohort resident on device and the batch gathered
+    by index inside the step.
+    """
 
     def loss_fn(params, state, batch, key):
         k_in, k_drop = jax.random.split(key)
@@ -143,7 +161,7 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, denois
         net_out, losses = _forward_and_losses(params, state, cfg, inputs, True, k_drop)
         return losses["loss"], (net_out.state, losses)
 
-    def train_step(params, state, opt_state, batch, key):
+    def update(params, state, opt_state, batch, key):
         grads, (new_state, losses) = jax.grad(loss_fn, has_aux=True)(
             params, state, batch, key
         )
@@ -151,11 +169,20 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, denois
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, losses
 
-    return jax.jit(train_step, donate_argnums=(0, 1, 2))
+    if not gather:
+        return jax.jit(update, donate_argnums=(0, 1, 2))
+
+    def train_step_gather(params, state, opt_state, data, idx, key):
+        return update(params, state, opt_state, gather_batch(data, idx), key)
+
+    return jax.jit(train_step_gather, donate_argnums=(0, 1, 2))
 
 
-def make_eval_step(cfg: Config, denoise: bool):
-    """Returns jitted `(params, state, batch, key) -> (metrics, outputs)`.
+def make_eval_step(cfg: Config, denoise: bool, gather: bool = False):
+    """Returns jitted `(params, state, batch, key) -> (metrics, outputs)`
+    (or `(params, state, data, idx, sample_mask, key)` when `gather=True`,
+    with the cohort HBM-resident and shape-padding handled via the
+    sample mask).
 
     `outputs` carries the per-sample dumps the reference collects in
     `eval_one_epoch` (pretrain_trainer.py:346-353): the latent `hidden`,
@@ -179,4 +206,12 @@ def make_eval_step(cfg: Config, denoise: bool):
             outputs[k] = v
         return losses, outputs
 
-    return jax.jit(eval_step)
+    if not gather:
+        return jax.jit(eval_step)
+
+    def eval_step_gather(params, state, data, idx, sample_mask, key):
+        batch = gather_batch(data, idx)
+        batch["sample_mask"] = sample_mask
+        return eval_step(params, state, batch, key)
+
+    return jax.jit(eval_step_gather)

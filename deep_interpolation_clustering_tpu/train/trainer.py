@@ -80,6 +80,8 @@ class Trainer:
         # jitted steps, cached per denoise flag
         self._train_steps: Dict[bool, callable] = {}
         self._eval_steps: Dict[bool, callable] = {}
+        # HBM-resident cohort arrays, uploaded once per cohort
+        self._device_data: Dict[str, Dict] = {}
 
         n_params = tree_size(self.params)
         n_train = len(datasets["training"]) if "training" in datasets else 0
@@ -92,14 +94,33 @@ class Trainer:
     def _train_step(self, denoise: bool):
         if denoise not in self._train_steps:
             self._train_steps[denoise] = make_train_step(
-                self.cfg, self.optimizer, denoise
+                self.cfg, self.optimizer, denoise, gather=self.cfg.device_data
             )
         return self._train_steps[denoise]
 
     def _eval_step(self, denoise: bool):
         if denoise not in self._eval_steps:
-            self._eval_steps[denoise] = make_eval_step(self.cfg, denoise)
+            self._eval_steps[denoise] = make_eval_step(
+                self.cfg, denoise, gather=self.cfg.device_data
+            )
         return self._eval_steps[denoise]
+
+    def _cohort_device_data(self, ds: ArrayDataset) -> Dict:
+        """Upload a cohort to HBM once (replicated across the mesh); later
+        epochs gather batches on device from these arrays."""
+        if ds.cohort not in self._device_data:
+            arrays = {k: jnp.asarray(v) for k, v in ds.arrays().items()}
+            if self.mesh is not None:
+                arrays = replicate_tree(self.mesh, arrays)
+            self._device_data[ds.cohort] = arrays
+        return self._device_data[ds.cohort]
+
+    def _put_idx(self, idx: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(idx)
+        from ..parallel import batch_sharding
+
+        return jax.device_put(jnp.asarray(idx), batch_sharding(self.mesh))
 
     def _epoch_key(self, epoch: int, salt: int = 0):
         return jax.random.fold_in(jax.random.fold_in(self.base_key, epoch), salt)
@@ -139,21 +160,35 @@ class Trainer:
         # H2D batch transfer with the compute (the torch reference has the
         # same pipeline hazard via its .item() calls, :223).
         pending: list = []
-        for i, batch in enumerate(
-            ds.iter_batches(
-                cfg.batch_size,
-                shuffle=True,
-                rng=shuffle_rng,
+        if cfg.device_data:
+            data = self._cohort_device_data(ds)
+            n = len(ds)
+            order = np.arange(n)
+            shuffle_rng.shuffle(order)
+            stop = (n // cfg.batch_size) * cfg.batch_size \
+                if self.n_shards > 1 else n
+            batches = [
+                order[s : s + cfg.batch_size].astype(np.int32)
+                for s in range(0, stop, cfg.batch_size)
+            ]
+        else:
+            batches = ds.iter_batches(
+                cfg.batch_size, shuffle=True, rng=shuffle_rng,
                 drop_last=self.n_shards > 1,
-            ),
-            start=1,
-        ):
-            batch.pop("index", None)
-            batch = shard_batch(self.mesh, batch)
-            key = jax.random.fold_in(epoch_key, i)
-            self.params, self.state, self.opt_state, losses = step_fn(
-                self.params, self.state, self.opt_state, batch, key
             )
+        for i, batch in enumerate(batches, start=1):
+            key = jax.random.fold_in(epoch_key, i)
+            if cfg.device_data:
+                self.params, self.state, self.opt_state, losses = step_fn(
+                    self.params, self.state, self.opt_state, data,
+                    self._put_idx(batch), key,
+                )
+            else:
+                batch.pop("index", None)
+                batch = shard_batch(self.mesh, batch)
+                self.params, self.state, self.opt_state, losses = step_fn(
+                    self.params, self.state, self.opt_state, batch, key
+                )
             pending.append(losses)
             if i % cfg.log_train_freq == 1:
                 fetched = jax.device_get(losses)
@@ -185,26 +220,48 @@ class Trainer:
         metrics_acc: Dict[str, list] = defaultdict(list)
         dumps: Dict[str, list] = defaultdict(list)
         n_batches = ds.num_batches(cfg.batch_size)
+        pending: list = []
 
-        for i, batch in enumerate(ds.iter_batches(cfg.batch_size), start=1):
-            idx = batch.pop("index")
-            batch = pad_batch_to(batch, cfg.batch_size)
-            n_real = batch.pop("_n_real")
-            batch = shard_batch(self.mesh, batch)
+        data = self._cohort_device_data(ds) if cfg.device_data else None
+        n = len(ds)
+        for i, start in enumerate(range(0, n, cfg.batch_size), start=1):
+            idx = np.arange(start, min(start + cfg.batch_size, n))
             key = jax.random.fold_in(epoch_key, i)
-            losses, outputs = step_fn(self.params, self.state, batch, key)
-            losses = jax.device_get(losses)
-            outputs = jax.device_get(outputs)
+            n_real = len(idx)
+            if cfg.device_data:
+                idx_pad = np.pad(idx, (0, cfg.batch_size - n_real)).astype(np.int32)
+                sample_mask = np.zeros((cfg.batch_size,), np.float32)
+                sample_mask[:n_real] = 1.0
+                losses, outputs = step_fn(
+                    self.params, self.state, data,
+                    self._put_idx(idx_pad),
+                    self._put_idx(sample_mask),
+                    key,
+                )
+            else:
+                batch = ds.batch(idx)
+                batch.pop("index")
+                batch = pad_batch_to(batch, cfg.batch_size)
+                batch.pop("_n_real")
+                batch = shard_batch(self.mesh, batch)
+                losses, outputs = step_fn(self.params, self.state, batch, key)
+            # keep device handles; one bulk fetch at epoch end so D2H
+            # pipelines with compute instead of syncing every batch
+            pending.append((losses, outputs, idx, n_real))
+            if i % cfg.log_valid_freq == 1:
+                logger.info(
+                    "%d-[%d/%d (%.0f%%)]: %s-%s",
+                    self.epoch, i, n_batches, 100.0 * i / n_batches, scope,
+                    _fmt(jax.device_get(losses)),
+                )
+        for losses, outputs, idx, n_real in (
+            (jax.device_get((l, o)) + (ix, nr)) for l, o, ix, nr in pending
+        ):
             for k, v in losses.items():
                 metrics_acc[k].append(float(v))
             for k, v in outputs.items():
                 dumps[k].append(np.asarray(v)[:n_real])
             dumps["__index__"].append(idx)
-            if i % cfg.log_valid_freq == 1:
-                logger.info(
-                    "%d-[%d/%d (%.0f%%)]: %s-%s",
-                    self.epoch, i, n_batches, 100.0 * i / n_batches, scope, _fmt(losses),
-                )
         metrics = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
         return metrics, dumps
 

@@ -1,6 +1,19 @@
 from .logging import get_logger, logger
-from .timing import timer
+from .timing import timer, block_timer
 from .prng import set_seed
 from .pytree import tree_size, global_norm
+from .profiling import trace, annotate, StepTimer, device_memory_stats
 
-__all__ = ["get_logger", "logger", "timer", "set_seed", "tree_size", "global_norm"]
+__all__ = [
+    "get_logger",
+    "logger",
+    "timer",
+    "block_timer",
+    "set_seed",
+    "tree_size",
+    "global_norm",
+    "trace",
+    "annotate",
+    "StepTimer",
+    "device_memory_stats",
+]

@@ -1,0 +1,83 @@
+"""p0 raw-format ingestion: the reference's encounter/vitals/split-ids
+pickles through the CLI (generate_data + abnormal-vital extraction +
+outcome-label joins)."""
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deep_interpolation_clustering_tpu.cli import p0
+from deep_interpolation_clustering_tpu.cli.common import load_processed, config_from_args
+from deep_interpolation_clustering_tpu.info import COHORTS, USE_FEATURES
+
+
+@pytest.fixture
+def raw_dir(tmp_path, rng):
+    n = 60
+    ids = [f"e{i:03d}" for i in range(n)]
+    encounter = pd.DataFrame({
+        "encounter_deiden_id": ids,
+        "AKI_overall": rng.randint(0, 2, n),
+        "mort_status_30d": rng.randint(0, 2, n),
+    })
+    vitals = {}
+    for v in USE_FEATURES:
+        rows = []
+        for e in ids:
+            k = rng.randint(2, 9)
+            for t in sorted(rng.rand(k) * 7.5):  # includes hour 6-7 records
+                rows.append((e, t, rng.rand() * 50 + 60))
+        vitals[v] = pd.DataFrame(
+            rows, columns=["encounter_deiden_id", "time_stamp", "measurement"]
+        )
+    split_ids = {
+        "training": ids[:40], "validation": ids[40:50], "testing": ids[50:],
+    }
+    d = tmp_path / "raw"
+    d.mkdir()
+    encounter.to_csv(d / "encounter.csv", index=False)
+    with open(d / "vitals.pickle", "wb") as f:
+        pickle.dump(vitals, f)
+    with open(d / "split_ids.pickle", "wb") as f:
+        pickle.dump(split_ids, f)
+    return str(d)
+
+
+def test_p0_raw_ingestion(tmp_path, raw_dir, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data"])
+
+    class _Args:
+        base_path = "Data"
+
+    import argparse
+
+    cfg = config_from_args(argparse.Namespace(config=None, base_path="Data"))
+    splits = load_processed(cfg)
+    assert set(splits) == set(COHORTS)
+    tr = splits["training"]
+    assert len(tr["encounter_id"]) == 40
+    n, c, t = tr["feat"].shape
+    assert c == len(USE_FEATURES)
+    # only first-6h observations gridded
+    assert tr["time_step"].max() <= 6.0
+    # min-max normalized with the fixed physiological ranges: observed
+    # heartRate values (raw 60-110 within range 0-300) land in [0, 1]
+    hr = tr["feat"][:, 2][tr["padding_mask"][:, 2] > 0]
+    assert 0.0 <= hr.min() and hr.max() <= 1.0
+    # hold-out mask is a subset of the padding mask
+    assert np.all(tr["drop_mask"] <= tr["padding_mask"])
+    # outcome labels joined
+    assert tr["AKI_overall"].shape == (40,)
+    assert set(np.unique(tr["AKI_overall"])) <= {0.0, 1.0}
+    # future-vital targets normalized or NaN
+    fv = tr["future_vital"]
+    assert fv.shape == (40, c)
+    # heartRate (range 0-300 covers the raw 60-110) normalizes into [0,1]
+    fv_hr = fv[:, 2][np.isfinite(fv[:, 2])]
+    assert fv_hr.size and (0 <= fv_hr).all() and (fv_hr <= 1).all()
+    # aux CSV written
+    assert os.path.exists("Data/next_hour_abnormal_norm_val.csv")
