@@ -126,8 +126,11 @@ class Config:
     # host->device transfer per batch); the 100k-encounter cohort is ~3.4 GB
     # at T=354 — far under a v5e chip's HBM
     device_data: bool = True
-    # computation dtype on the parity path must stay float32; bf16 is an
-    # opt-in for throughput runs
+    # forward-pass compute dtype. float32 is both the parity requirement
+    # AND the measured-fastest choice on v5e for this model (the hot ops
+    # are VPU-bound logsumexp chains and R=6-step LSTMs, not big MXU
+    # matmuls; bf16 measured 2.3ms -> 4.4ms/step at B=256). bfloat16 stays
+    # available for memory-constrained or MXU-dominated variants.
     compute_dtype: str = "float32"
 
     # ------------------------------------------------------------------

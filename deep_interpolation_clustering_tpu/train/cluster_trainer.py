@@ -69,8 +69,10 @@ class ClusterTrainer(Trainer):
     def generate_pretrain_feat(self, cohort: str, denoise: bool = False):
         from ..info import COHORT2SCOPE
 
+        # center init only consumes the latents — skip the D2H of rec_ob etc.
         metrics, dumps = self.eval_one_epoch(
-            COHORT2SCOPE[cohort], self.datasets[cohort], denoise
+            COHORT2SCOPE[cohort], self.datasets[cohort], denoise,
+            dump_keys=("hidden",),
         )
         logger.info("%s %s", cohort, _fmt(metrics))
         return self.merge_ob_pred(self.datasets[cohort], dumps)
@@ -110,7 +112,10 @@ class ClusterTrainer(Trainer):
     def generate_pred_cluster(
         self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray], denoise=False
     ) -> Tuple[float, np.ndarray, Dict[str, float]]:
-        metrics, dumps = self.eval_one_epoch(scope, ds, denoise)
+        # delta only consumes the soft assignments
+        metrics, dumps = self.eval_one_epoch(
+            scope, ds, denoise, dump_keys=("cluster_pred",)
+        )
         ob_pred = self.merge_ob_pred(ds, dumps)
         cluster_pred = np.argmax(ob_pred["cluster_pred"], axis=1)
         if prev_pred is None:

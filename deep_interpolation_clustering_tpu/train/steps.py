@@ -141,6 +141,23 @@ def gather_batch(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
     return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
 
+def _compute_cast(cfg: Config, params, batch):
+    """Opt-in mixed precision: float params/batch enter the forward in
+    `cfg.compute_dtype` (e.g. bfloat16 for MXU throughput); the cast is
+    differentiated, so gradients and the optimizer state stay float32.
+    The parity path keeps the default float32 (SURVEY.md §7 hard-part 1)."""
+    if cfg.compute_dtype == "float32":
+        return params, batch
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params), jax.tree_util.tree_map(cast, batch)
+
+
 def make_train_step(
     cfg: Config,
     optimizer: optax.GradientTransformation,
@@ -156,10 +173,15 @@ def make_train_step(
     """
 
     def loss_fn(params, state, batch, key):
+        params, batch = _compute_cast(cfg, params, batch)
         k_in, k_drop = jax.random.split(key)
         inputs = build_inputs(cfg, batch, k_in, train=True, denoise=denoise)
         net_out, losses = _forward_and_losses(params, state, cfg, inputs, True, k_drop)
-        return losses["loss"], (net_out.state, losses)
+        losses = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), losses)
+        state_out = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), net_out.state
+        )
+        return losses["loss"], (state_out, losses)
 
     def update(params, state, opt_state, batch, key):
         grads, (new_state, losses) = jax.grad(loss_fn, has_aux=True)(

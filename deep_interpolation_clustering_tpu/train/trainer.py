@@ -208,11 +208,13 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
     def eval_one_epoch(
-        self, scope: str, ds: ArrayDataset, denoise: bool
+        self, scope: str, ds: ArrayDataset, denoise: bool, dump_keys=None
     ):
         """No-grad mirror of the train epoch; collects per-sample dumps
         (reference pretrain_trainer.py:243-366). Batches are shape-padded to
-        a single compiled shape; sample masks keep the metrics exact."""
+        a single compiled shape; sample masks keep the metrics exact.
+        `dump_keys` restricts which outputs are fetched to the host — at
+        100k scale the D2H of unneeded rec_ob dominates latent extraction."""
         cfg = self.cfg
         step_fn = self._eval_step(denoise)
         salt = int.from_bytes(scope.encode()[:4].ljust(4, b"\0"), "little")
@@ -247,6 +249,8 @@ class Trainer:
                 losses, outputs = step_fn(self.params, self.state, batch, key)
             # keep device handles; one bulk fetch at epoch end so D2H
             # pipelines with compute instead of syncing every batch
+            if dump_keys is not None:
+                outputs = {k: v for k, v in outputs.items() if k in dump_keys}
             pending.append((losses, outputs, idx, n_real))
             if i % cfg.log_valid_freq == 1:
                 logger.info(

@@ -75,6 +75,24 @@ def test_loss_mode_trains(rng, loss, clustering, keys):
         assert "AKI_overall" in losses  # binary BCE task rides along
 
 
+def test_bfloat16_compute_mode(rng):
+    """Mixed precision: bf16 forward, f32 grads/optimizer/metrics; the loss
+    lands near the f32 value."""
+    batch = _batch(rng)
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = Config(num_timestamps=T, batch_size=B, compute_dtype=dtype)
+        params, state = init_net(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, opt, denoise=False)
+        new_params, _, _, l = step(params, state, opt_state, batch, jax.random.PRNGKey(1))
+        losses[dtype] = float(l["loss"])
+        # optimizer state and params stay float32
+        assert jax.tree_util.tree_leaves(new_params)[0].dtype == np.float32
+    assert abs(losses["bfloat16"] - losses["float32"]) / losses["float32"] < 0.05
+
+
 def test_step_timer_and_memory_stats(rng):
     from deep_interpolation_clustering_tpu.utils import StepTimer, device_memory_stats
 
