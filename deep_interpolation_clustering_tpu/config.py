@@ -126,6 +126,11 @@ class Config:
     # host->device transfer per batch); the 100k-encounter cohort is ~3.4 GB
     # at T=354 — far under a v5e chip's HBM
     device_data: bool = True
+    # fuse the whole epoch into one compiled lax.scan over batch indices
+    # (one dispatch per epoch; per-batch losses still recorded, but live
+    # per-batch console logs are emitted after the epoch). Requires
+    # device_data; falls back to per-batch stepping otherwise.
+    fused_epoch: bool = True
     # forward-pass compute dtype. float32 is both the parity requirement
     # AND the measured-fastest choice on v5e for this model (the hot ops
     # are VPU-bound logsumexp chains and R=6-step LSTMs, not big MXU

@@ -18,11 +18,20 @@ from ..config import Config
 Array = jax.Array
 
 
-def rec_loss(org_ob: Array, rec_ob: Array, padding_mask: Array) -> Dict[str, Array]:
+def rec_loss(
+    org_ob: Array,
+    rec_ob: Array,
+    padding_mask: Array,
+    sample_mask: Optional[Array] = None,
+) -> Dict[str, Array]:
     """Masked sum-MSE over observed points / #observed (reference :169-175).
 
     `where` (not multiply) so the NaN/-inf garbage a shape-padded all-zero-mask
-    row produces through the interpolation logsumexp never reaches the sum."""
+    row produces through the interpolation logsumexp never reaches the sum.
+    `sample_mask` additionally excludes shape-padding rows — under on-device
+    gather those are real rows duplicated, with real padding masks."""
+    if sample_mask is not None:
+        padding_mask = padding_mask * sample_mask[:, None, None]
     diff = jnp.where(padding_mask == 1.0, rec_ob - org_ob, 0.0)
     num = jnp.sum(padding_mask == 1.0)
     mse = jnp.sum(jnp.square(diff)) / num
@@ -146,7 +155,7 @@ def compute_losses(
     """Dispatch on `cfg.loss_components` — the data-driven replacement for
     the reference's loss-name elif chains."""
     comps = cfg.loss_components
-    rec = rec_loss(ob, net_out.rec, padding_mask)
+    rec = rec_loss(ob, net_out.rec, padding_mask, sample_mask)
     if not comps:
         return rec
 

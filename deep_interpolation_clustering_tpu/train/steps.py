@@ -158,19 +158,9 @@ def _compute_cast(cfg: Config, params, batch):
     return jax.tree_util.tree_map(cast, params), jax.tree_util.tree_map(cast, batch)
 
 
-def make_train_step(
-    cfg: Config,
-    optimizer: optax.GradientTransformation,
-    denoise: bool,
-    gather: bool = False,
-):
-    """Returns a jitted train step with donated carries.
-
-    `gather=False`: `(params, state, opt_state, batch, key)` with the batch
-    streamed from host. `gather=True`: `(params, state, opt_state, data,
-    idx, key)` with the cohort resident on device and the batch gathered
-    by index inside the step.
-    """
+def _make_update(cfg: Config, optimizer: optax.GradientTransformation, denoise: bool):
+    """The (unjitted) forward + losses + grads + clip + optimizer body
+    shared by the per-batch step and the fused-epoch scan."""
 
     def loss_fn(params, state, batch, key):
         params, batch = _compute_cast(cfg, params, batch)
@@ -191,6 +181,24 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, losses
 
+    return update
+
+
+def make_train_step(
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    denoise: bool,
+    gather: bool = False,
+):
+    """Returns a jitted train step with donated carries.
+
+    `gather=False`: `(params, state, opt_state, batch, key)` with the batch
+    streamed from host. `gather=True`: `(params, state, opt_state, data,
+    idx, key)` with the cohort resident on device and the batch gathered
+    by index inside the step.
+    """
+    update = _make_update(cfg, optimizer, denoise)
+
     if not gather:
         return jax.jit(update, donate_argnums=(0, 1, 2))
 
@@ -198,6 +206,79 @@ def make_train_step(
         return update(params, state, opt_state, gather_batch(data, idx), key)
 
     return jax.jit(train_step_gather, donate_argnums=(0, 1, 2))
+
+
+def batch_keys(epoch_key: Array, n: int, start: int = 1) -> Array:
+    """The per-batch keys `fold_in(epoch_key, i)` for i = start..start+n-1 —
+    identical to the unfused loop's sequence, so fused and step-at-a-time
+    epochs are bit-identical."""
+    return jax.vmap(lambda i: jax.random.fold_in(epoch_key, i))(
+        jnp.arange(start, start + n)
+    )
+
+
+def make_train_epoch(
+    cfg: Config, optimizer: optax.GradientTransformation, denoise: bool
+):
+    """A WHOLE epoch as one compiled program: `lax.scan` of the train step
+    over an `(n_batches, B)` index matrix into the HBM-resident cohort.
+
+    One dispatch per epoch instead of one per batch — on a tunneled or
+    congested host the per-call latency (~5-10 ms) otherwise dominates the
+    ~1 ms step. Returns per-batch loss arrays so the per-batch metric
+    record (reference pretrain_trainer.py:231-236) survives, just logged
+    after the fact.
+    """
+
+    update = _make_update(cfg, optimizer, denoise)
+
+    def epoch_fn(params, state, opt_state, data, idx_mat, epoch_key):
+        keys = batch_keys(epoch_key, idx_mat.shape[0])
+
+        def body(carry, inp):
+            params, state, opt_state = carry
+            idx, key = inp
+            params, state, opt_state, losses = update(
+                params, state, opt_state, gather_batch(data, idx), key
+            )
+            return (params, state, opt_state), losses
+
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), (idx_mat, keys)
+        )
+        return params, state, opt_state, losses
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+
+
+def make_eval_epoch(cfg: Config, denoise: bool):
+    """Fused eval epoch: scan over `(n_batches, B)` padded index rows +
+    `(n_batches, B)` sample masks; outputs stack on device so the host does
+    ONE bulk fetch for the whole cohort."""
+
+    def eval_step(params, state, batch, key):
+        inputs = build_inputs(cfg, batch, key, train=False, denoise=denoise)
+        net_out, losses = _forward_and_losses(params, state, cfg, inputs, False, key)
+        outputs = {"hidden": net_out.hidden, "rec_ob": net_out.rec}
+        for k, v in net_out.aux.items():
+            if k in ("fake_det", "positive", "negative"):
+                continue
+            outputs[k] = v
+        return losses, outputs
+
+    def epoch_fn(params, state, data, idx_mat, mask_mat, epoch_key):
+        keys = batch_keys(epoch_key, idx_mat.shape[0])
+
+        def body(_, inp):
+            idx, mask, key = inp
+            batch = gather_batch(data, idx)
+            batch["sample_mask"] = mask
+            return None, eval_step(params, state, batch, key)
+
+        _, (losses, outputs) = jax.lax.scan(body, None, (idx_mat, mask_mat, keys))
+        return losses, outputs
+
+    return jax.jit(epoch_fn)
 
 
 def make_eval_step(cfg: Config, denoise: bool, gather: bool = False):

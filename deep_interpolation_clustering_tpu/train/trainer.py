@@ -27,7 +27,7 @@ from ..parallel import make_mesh, pad_batch_to, replicate_tree, shard_batch
 from ..utils import logger, timer, tree_size
 from . import checkpoint as ckpt
 from .optim import LRSchedule, get_learning_rate, make_optimizer, set_learning_rate
-from .steps import make_eval_step, make_train_step
+from .steps import make_eval_epoch, make_eval_step, make_train_epoch, make_train_step
 from .summary import Summary
 
 
@@ -77,9 +77,11 @@ class Trainer:
         )
         cfg.save(exp_path)
 
-        # jitted steps, cached per denoise flag
+        # jitted steps / fused epochs, cached per denoise flag
         self._train_steps: Dict[bool, callable] = {}
         self._eval_steps: Dict[bool, callable] = {}
+        self._train_epochs: Dict[bool, callable] = {}
+        self._eval_epochs: Dict[bool, callable] = {}
         # HBM-resident cohort arrays, uploaded once per cohort
         self._device_data: Dict[str, Dict] = {}
 
@@ -105,6 +107,18 @@ class Trainer:
             )
         return self._eval_steps[denoise]
 
+    def _train_epoch_fn(self, denoise: bool):
+        if denoise not in self._train_epochs:
+            self._train_epochs[denoise] = make_train_epoch(
+                self.cfg, self.optimizer, denoise
+            )
+        return self._train_epochs[denoise]
+
+    def _eval_epoch_fn(self, denoise: bool):
+        if denoise not in self._eval_epochs:
+            self._eval_epochs[denoise] = make_eval_epoch(self.cfg, denoise)
+        return self._eval_epochs[denoise]
+
     def _cohort_device_data(self, ds: ArrayDataset) -> Dict:
         """Upload a cohort to HBM once (replicated across the mesh); later
         epochs gather batches on device from these arrays."""
@@ -121,6 +135,17 @@ class Trainer:
         from ..parallel import batch_sharding
 
         return jax.device_put(jnp.asarray(idx), batch_sharding(self.mesh))
+
+    def _put_idx_mat(self, mat: np.ndarray):
+        """(n_batches, B) index/mask matrix: the scan axis stays whole, the
+        batch axis is sharded over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(mat)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            jnp.asarray(mat), NamedSharding(self.mesh, P(None, "data"))
+        )
 
     def _epoch_key(self, epoch: int, salt: int = 0):
         return jax.random.fold_in(jax.random.fold_in(self.base_key, epoch), salt)
@@ -149,11 +174,21 @@ class Trainer:
 
     def train_one_epoch(self, ds: ArrayDataset, denoise: bool) -> Dict[str, float]:
         cfg = self.cfg
-        step_fn = self._train_step(denoise)
         epoch_key = self._epoch_key(self.epoch)
         shuffle_rng = np.random.RandomState(cfg.seed + self.epoch)
-        metrics_acc: Dict[str, list] = defaultdict(list)
         n_batches = ds.num_batches(cfg.batch_size, drop_last=self.n_shards > 1)
+
+        if (
+            cfg.device_data
+            and cfg.fused_epoch
+            and len(ds) >= cfg.batch_size
+        ):
+            return self._train_one_epoch_fused(
+                ds, denoise, epoch_key, shuffle_rng, n_batches
+            )
+
+        step_fn = self._train_step(denoise)
+        metrics_acc: Dict[str, list] = defaultdict(list)
 
         # Per-batch losses stay on device until the epoch ends — fetching
         # them eagerly would force a host sync every step and serialize the
@@ -206,6 +241,61 @@ class Trainer:
         self.summary.add_summary(self.epoch, scope="train", **out)
         return out
 
+    def _train_one_epoch_fused(
+        self, ds: ArrayDataset, denoise: bool, epoch_key, shuffle_rng, n_batches
+    ) -> Dict[str, float]:
+        """One dispatch per epoch: lax.scan over the shuffled index matrix.
+        Batch-RNG keys match the per-batch path exactly (steps.batch_keys),
+        so fused and unfused epochs are bit-identical; any ragged tail batch
+        runs as one ordinary step with the next key in the sequence."""
+        cfg = self.cfg
+        data = self._cohort_device_data(ds)
+        n = len(ds)
+        order = np.arange(n)
+        shuffle_rng.shuffle(order)
+        b = cfg.batch_size
+        n_full = n // b
+        idx_mat = order[: n_full * b].reshape(n_full, b).astype(np.int32)
+
+        epoch_fn = self._train_epoch_fn(denoise)
+        self.params, self.state, self.opt_state, losses = epoch_fn(
+            self.params, self.state, self.opt_state, data,
+            self._put_idx_mat(idx_mat), epoch_key,
+        )
+
+        tail = order[n_full * b :].astype(np.int32)
+        tail_losses = None
+        if len(tail) and self.n_shards == 1:
+            step_fn = self._train_step(denoise)
+            key = jax.random.fold_in(epoch_key, n_full + 1)
+            self.params, self.state, self.opt_state, tail_losses = step_fn(
+                self.params, self.state, self.opt_state, data,
+                self._put_idx(tail), key,
+            )
+
+        losses = jax.device_get(losses)
+        if tail_losses is not None:
+            tail_losses = jax.device_get(tail_losses)
+            losses = {
+                k: np.concatenate([v, [tail_losses[k]]]) for k, v in losses.items()
+            }
+        # per-batch metric record, written post-hoc at the same steps the
+        # per-batch path logs live
+        for i in range(1, len(next(iter(losses.values()))) + 1):
+            if i % cfg.log_train_freq == 1:
+                batch_metrics = {k: float(v[i - 1]) for k, v in losses.items()}
+                logger.info(
+                    "%d-[%d/%d (%.0f%%)]: train-%s",
+                    self.epoch, i, n_batches, 100.0 * i / n_batches,
+                    _fmt(batch_metrics),
+                )
+                self.summary.add_summary(
+                    self.epoch * n_batches + i, scope="train_batch", **batch_metrics
+                )
+        out = {k: float(np.mean(v)) for k, v in losses.items()}
+        self.summary.add_summary(self.epoch, scope="train", **out)
+        return out
+
     # -------------------------------------------------------------- eval
     def eval_one_epoch(
         self, scope: str, ds: ArrayDataset, denoise: bool, dump_keys=None
@@ -216,12 +306,18 @@ class Trainer:
         `dump_keys` restricts which outputs are fetched to the host — at
         100k scale the D2H of unneeded rec_ob dominates latent extraction."""
         cfg = self.cfg
-        step_fn = self._eval_step(denoise)
         salt = int.from_bytes(scope.encode()[:4].ljust(4, b"\0"), "little")
         epoch_key = self._epoch_key(self.epoch, salt=salt)
         metrics_acc: Dict[str, list] = defaultdict(list)
         dumps: Dict[str, list] = defaultdict(list)
         n_batches = ds.num_batches(cfg.batch_size)
+
+        if cfg.device_data and cfg.fused_epoch:
+            return self._eval_one_epoch_fused(
+                scope, ds, denoise, epoch_key, dump_keys
+            )
+
+        step_fn = self._eval_step(denoise)
         pending: list = []
 
         data = self._cohort_device_data(ds) if cfg.device_data else None
@@ -269,7 +365,40 @@ class Trainer:
         metrics = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
         return metrics, dumps
 
-    def merge_ob_pred(self, ds: ArrayDataset, dumps: Dict[str, list]) -> Dict[str, np.ndarray]:
+    def _eval_one_epoch_fused(self, scope, ds, denoise, epoch_key, dump_keys):
+        """Fused eval: one scan over padded index rows; outputs stack on
+        device, so the whole cohort's dumps arrive in one bulk fetch."""
+        cfg = self.cfg
+        data = self._cohort_device_data(ds)
+        n, b = len(ds), cfg.batch_size
+        n_batches = -(-n // b)
+        idx = np.arange(n_batches * b, dtype=np.int32)
+        mask = (idx < n).astype(np.float32)
+        idx = np.minimum(idx, n - 1)
+        epoch_fn = self._eval_epoch_fn(denoise)
+        losses, outputs = epoch_fn(
+            self.params, self.state, data,
+            self._put_idx_mat(idx.reshape(n_batches, b)),
+            self._put_idx_mat(mask.reshape(n_batches, b)),
+            epoch_key,
+        )
+        if dump_keys is not None:
+            outputs = {k: v for k, v in outputs.items() if k in dump_keys}
+        losses, outputs = jax.device_get((losses, outputs))
+
+        metrics = {k: float(np.mean(v)) for k, v in losses.items()}
+        logger.info("%d: %s-%s", self.epoch, scope, _fmt(metrics))
+        dumps: Dict[str, list] = defaultdict(list)
+        for k, v in outputs.items():
+            # only the final batch is padded, at its end: flattening the
+            # (n_batches, B, ...) stack makes rows [:n] exactly the cohort
+            dumps[k].append(v.reshape((n_batches * b,) + v.shape[2:])[:n])
+        dumps["__index__"].append(np.arange(n))
+        return metrics, dumps
+
+    def merge_ob_pred(
+        self, ds: ArrayDataset, dumps: Dict[str, list]
+    ) -> Dict[str, np.ndarray]:
         """Merge batch dumps + the raw batch planes into one dict of arrays
         (reference merge_ob_pred, pretrain_trainer.py:406-414)."""
         idx = np.concatenate(dumps.pop("__index__"))
