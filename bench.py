@@ -41,16 +41,20 @@ def make_batch(rng, b):
 
 
 def bench_ours() -> float:
+    """The trainer's production path: HBM-resident cohort, fused lax.scan
+    epoch (one dispatch), data-parallel over all available chips."""
     import jax
+    import jax.numpy as jnp
 
     from deep_interpolation_clustering_tpu import Config
     from deep_interpolation_clustering_tpu.models import init_net
     from deep_interpolation_clustering_tpu.parallel import (
+        batch_sharding,
         make_mesh,
         replicate_tree,
-        shard_batch,
     )
-    from deep_interpolation_clustering_tpu.train import make_optimizer, make_train_step
+    from deep_interpolation_clustering_tpu.train import make_optimizer
+    from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
 
     cfg = Config(batch_size=BATCH, num_timestamps=T)
     n_dev = len(jax.devices())
@@ -65,31 +69,45 @@ def bench_ours() -> float:
         state = replicate_tree(mesh, state)
         opt_state = replicate_tree(mesh, opt_state)
 
+    n_cohort = BATCH * STEPS
     rng = np.random.RandomState(0)
-    ob, mask, ts, ae, fv, fvm = make_batch(rng, BATCH)
-    batch = {
+    ob, mask, ts, ae, fv, fvm = make_batch(rng, n_cohort)
+    data = {
         "ob": ob, "padding_mask": mask, "timestamp": ts, "ae_mask": ae,
         "future_vital": fv, "future_vital_mask": fvm,
     }
+    data = {k: jnp.asarray(v) for k, v in data.items()}
     if mesh is not None:
-        batch = shard_batch(mesh, batch)
-    else:
-        batch = {k: jax.device_put(v) for k, v in batch.items()}
-    step = make_train_step(cfg, optimizer, denoise=False)
+        data = replicate_tree(mesh, data)
+    idx_mat = np.arange(n_cohort, dtype=np.int32).reshape(STEPS, BATCH)
+    idx_mat = jnp.asarray(idx_mat)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    for i in range(WARMUP):
-        params, state, opt_state, losses = step(
-            params, state, opt_state, batch, jax.random.PRNGKey(i)
-        )
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        params, state, opt_state, losses = step(
-            params, state, opt_state, batch, jax.random.PRNGKey(100 + i)
-        )
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+        idx_mat = jax.device_put(idx_mat, NamedSharding(mesh, P(None, "data")))
+
+    epoch_fn = make_train_epoch(cfg, optimizer, denoise=False)
+
+    # Timing methodology: on a tunneled backend, block_until_ready can
+    # return before remote execution finishes — only a device_get truly
+    # synchronizes. Measure two run lengths each ending in a scalar fetch
+    # and take the slope, cancelling the constant sync/dispatch overhead.
+    def run(n: int, base: int):
+        nonlocal params, state, opt_state
+        t0 = time.perf_counter()
+        for i in range(n):
+            params, state, opt_state, losses = epoch_fn(
+                params, state, opt_state, data, idx_mat,
+                jax.random.PRNGKey(base + i),
+            )
+        float(jax.device_get(losses["loss"][-1]))  # hard sync
+        return time.perf_counter() - t0
+
+    run(WARMUP, 0)  # compile + warm
+    t_short = run(4, 100)
+    t_long = run(12, 200)
+    per_epoch = (t_long - t_short) / 8
+    return n_cohort / per_epoch
 
 
 def bench_reference() -> float:
