@@ -140,8 +140,14 @@ def make_fake_ob(ob: Array, padding_mask: Array, key: Array, scale: float) -> Ar
     scores = jax.random.uniform(k_sel, (b, c, t))
     scores = jnp.where(pos < n_valid, scores, jnp.inf)
     kth = jnp.take_along_axis(jnp.sort(scores, axis=2), num_perm - 1, axis=2)
-    # ties are measure-zero for continuous scores; padded slots score +inf
-    selected = (scores <= kth) & (pos < n_valid)
+    # float32 uniforms live on a 2^-23 grid, so the k-th value CAN tie
+    # (~2e-5 per row at T=354): take everything strictly below it, then
+    # fill the remainder from the tied slots in position order — among
+    # uniformly-random ties, first-position is an unbiased choice.
+    below = (scores < kth) & (pos < n_valid)
+    tied = (scores == kth) & (pos < n_valid)
+    need = num_perm - jnp.sum(below, axis=2, keepdims=True)
+    selected = below | (tied & (jnp.cumsum(tied, axis=2) <= need))
 
     noise = jax.random.uniform(k_noise, (b, c, t))
     if scale != 0:

@@ -175,3 +175,31 @@ def test_extract_abnormal_vitals(rng):
     lo, hi = MIN_MAX_VALUES["heartRate"]
     assert abs(out.loc[0, "heartRate"] - (120.0 - lo) / (hi - lo)) < 1e-6  # max
     assert np.isnan(out.loc[1, "sbp"])  # encounter b has no window obs
+
+
+def test_make_fake_ob_exact_k_under_ties(rng):
+    """float32 uniforms can tie at the k-th order statistic; the cumulative
+    tie-break must still draw EXACTLY max(1, floor(0.5*n_valid)) slots.
+    Forced here by quantizing the scores to 4 levels (massive ties)."""
+    from unittest import mock
+
+    B, C, T = 16, 6, 40
+    mask = np.zeros((B, C, T), np.float32)
+    counts = rng.randint(1, T + 1, size=(B, C))
+    for i in range(B):
+        for j in range(C):
+            mask[i, j, : counts[i, j]] = 1.0
+    ob = rng.randn(B, C, T).astype(np.float32) * mask
+
+    orig_uniform = jax.random.uniform
+
+    def quantized(key, shape, *a, **k):
+        return jnp.floor(orig_uniform(key, shape, *a, **k) * 4) / 4
+
+    with mock.patch.object(jax.random, "uniform", quantized):
+        fake = np.asarray(
+            make_fake_ob(jnp.asarray(ob), jnp.asarray(mask), jax.random.PRNGKey(3), 5.0)
+        )
+    changed = (fake != ob).sum(axis=2)
+    want = np.maximum(1, (0.5 * counts).astype(int))
+    np.testing.assert_array_equal(changed, want)
