@@ -26,7 +26,7 @@ import numpy as np
 from ..config import Config
 from ..info import COHORTS
 from ..utils import logger
-from .align import align_labels_with_center, generate_align_map
+from .align import align_labels, align_labels_with_center, generate_align_map
 from .kmeans import kmeans_fit, kmeans_predict
 
 LOAD_KEYS = ("encounter_id", "hidden", "ob", "padding_mask")
@@ -154,17 +154,14 @@ class FinalLabeler:
             return lbl
 
         train = data["training"]
+        raw_labels = {"training": read("training"), "validation": read("validation")}
         align_map, _, _ = generate_align_map(
-            read("training"), train["ob"], train["padding_mask"]
+            raw_labels["training"], train["ob"], train["padding_mask"]
         )
         out = {}
         for cohort in ("training", "validation"):
             d = dict(data[cohort])
-            raw = read(cohort)
-            idx = {i: np.where(raw == i) for i in align_map}
-            new = raw.copy()
-            for org_id, new_id in align_map.items():
-                new[idx[org_id]] = new_id
+            new = align_labels(raw_labels[cohort], align_map)
             d["cluster_id"] = new
             d.pop("ob", None)
             d.pop("padding_mask", None)

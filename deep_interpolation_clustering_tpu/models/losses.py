@@ -112,7 +112,11 @@ def kl_loss(
 
 
 def triplet_loss(
-    anchor: Array, positive: Array, negative: Array, margin: float
+    anchor: Array,
+    positive: Array,
+    negative: Array,
+    margin: float,
+    sample_mask: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """torch F.triplet_margin_loss: mean(relu(d(a,p) - d(a,n) + margin)),
     d = L2 with torch's eps=1e-6 added to the difference
@@ -123,7 +127,7 @@ def triplet_loss(
         return jnp.sqrt(jnp.sum(jnp.square(a - b + eps), axis=-1))
 
     losses = jax.nn.relu(dist(anchor, positive) - dist(anchor, negative) + margin)
-    return {"triplet": jnp.mean(losses)}
+    return {"triplet": _masked_mean(losses, sample_mask)}
 
 
 def multi_task_loss(
@@ -179,6 +183,7 @@ def compute_losses(
                 net_out.aux["positive"],
                 net_out.aux["negative"],
                 cfg.triple_margin,
+                sample_mask,
             )
         )
     if "kl" in comps:

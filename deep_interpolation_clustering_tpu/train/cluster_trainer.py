@@ -64,7 +64,15 @@ class ClusterTrainer(Trainer):
         merged_s, _ = ckpt.partial_restore(jax.device_get(self.state), p_state)
         self.params = jax.tree_util.tree_map(jnp.asarray, merged_p)
         self.state = jax.tree_util.tree_map(jnp.asarray, merged_s)
+        self._replicate_over_mesh()
         logger.info("=> loaded %d pretrain leaves from %s", len(loaded), path)
+
+    def _replicate_over_mesh(self) -> None:
+        if self.mesh is not None:
+            from ..parallel import replicate_tree
+
+            self.params = replicate_tree(self.mesh, self.params)
+            self.state = replicate_tree(self.mesh, self.state)
 
     def generate_pretrain_feat(self, cohort: str, denoise: bool = False):
         from ..info import COHORT2SCOPE
@@ -105,6 +113,7 @@ class ClusterTrainer(Trainer):
             raise ValueError(f"unknown init_cluster_center {mode!r}")
         self.params = dict(self.params)
         self.params["cluster_centers"] = jnp.asarray(centers, jnp.float32)
+        self._replicate_over_mesh()
         logger.info("***** cluster initialize %s done *****", mode)
         return valid_prev
 

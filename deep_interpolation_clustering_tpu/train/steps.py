@@ -88,9 +88,10 @@ def build_inputs(
     if cfg.triple_margin != 0.0 and cfg.fake_detection:
         pos_ob = (ob + jax.random.normal(k_pos_ob, ob.shape) * cfg.triple_pos_std) * padding_mask
         pos_ts = (timestamp + jax.random.normal(k_pos_ts, timestamp.shape) * 0.01) * padding_mask
+        # the reference never denoises the positive branch
+        # (pretrain_trainer.py:171-173) — parity requires the raw jittered ob
         out["positive_x"] = jnp.concatenate(
-            [pos_ob * ae_mask if denoise else pos_ob, padding_mask, pos_ts, ae_mask],
-            axis=1,
+            [pos_ob, padding_mask, pos_ts, ae_mask], axis=1
         )
 
     # supervised aux labels ride along untouched
@@ -251,20 +252,34 @@ def make_train_epoch(
     return jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
 
 
-def make_eval_epoch(cfg: Config, denoise: bool):
-    """Fused eval epoch: scan over `(n_batches, B)` padded index rows +
-    `(n_batches, B)` sample masks; outputs stack on device so the host does
-    ONE bulk fetch for the whole cohort."""
+def _make_eval_body(cfg: Config, denoise: bool, dump_keys=None):
+    """The shared eval body: forward + losses + per-sample output dict.
+    `dump_keys` (static) drops unwanted outputs BEFORE a fused scan stacks
+    them — otherwise every plane of the whole cohort materializes in HBM."""
 
     def eval_step(params, state, batch, key):
         inputs = build_inputs(cfg, batch, key, train=False, denoise=denoise)
         net_out, losses = _forward_and_losses(params, state, cfg, inputs, False, key)
         outputs = {"hidden": net_out.hidden, "rec_ob": net_out.rec}
         for k, v in net_out.aux.items():
+            # rows of the fake-det / triplet branches are (2B)- or
+            # latent-shaped internals; per-sample dumps keep B-leading keys
             if k in ("fake_det", "positive", "negative"):
                 continue
             outputs[k] = v
+        if dump_keys is not None:
+            outputs = {k: v for k, v in outputs.items() if k in dump_keys}
         return losses, outputs
+
+    return eval_step
+
+
+def make_eval_epoch(cfg: Config, denoise: bool, dump_keys=None):
+    """Fused eval epoch: scan over `(n_batches, B)` padded index rows +
+    `(n_batches, B)` sample masks; outputs stack on device so the host does
+    ONE bulk fetch for the whole cohort."""
+
+    eval_step = _make_eval_body(cfg, denoise, dump_keys)
 
     def epoch_fn(params, state, data, idx_mat, mask_mat, epoch_key):
         keys = batch_keys(epoch_key, idx_mat.shape[0])
@@ -281,7 +296,9 @@ def make_eval_epoch(cfg: Config, denoise: bool):
     return jax.jit(epoch_fn)
 
 
-def make_eval_step(cfg: Config, denoise: bool, gather: bool = False):
+def make_eval_step(
+    cfg: Config, denoise: bool, gather: bool = False, dump_keys=None
+):
     """Returns jitted `(params, state, batch, key) -> (metrics, outputs)`
     (or `(params, state, data, idx, sample_mask, key)` when `gather=True`,
     with the cohort HBM-resident and shape-padding handled via the
@@ -295,19 +312,7 @@ def make_eval_step(cfg: Config, denoise: bool, gather: bool = False):
     p4_clustering_final.py:54).
     """
 
-    def eval_step(params, state, batch, key):
-        inputs = build_inputs(cfg, batch, key, train=False, denoise=denoise)
-        net_out, losses = _forward_and_losses(
-            params, state, cfg, inputs, False, key
-        )
-        outputs = {"hidden": net_out.hidden, "rec_ob": net_out.rec}
-        for k, v in net_out.aux.items():
-            # rows of the fake-det / triplet branches are (2B)- or
-            # latent-shaped internals; per-sample dumps keep B-leading keys
-            if k in ("fake_det", "positive", "negative"):
-                continue
-            outputs[k] = v
-        return losses, outputs
+    eval_step = _make_eval_body(cfg, denoise, dump_keys)
 
     if not gather:
         return jax.jit(eval_step)

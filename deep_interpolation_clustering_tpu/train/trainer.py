@@ -100,12 +100,13 @@ class Trainer:
             )
         return self._train_steps[denoise]
 
-    def _eval_step(self, denoise: bool):
-        if denoise not in self._eval_steps:
-            self._eval_steps[denoise] = make_eval_step(
-                self.cfg, denoise, gather=self.cfg.device_data
+    def _eval_step(self, denoise: bool, dump_keys=None):
+        k = (denoise, dump_keys)
+        if k not in self._eval_steps:
+            self._eval_steps[k] = make_eval_step(
+                self.cfg, denoise, gather=self.cfg.device_data, dump_keys=dump_keys
             )
-        return self._eval_steps[denoise]
+        return self._eval_steps[k]
 
     def _train_epoch_fn(self, denoise: bool):
         if denoise not in self._train_epochs:
@@ -114,10 +115,11 @@ class Trainer:
             )
         return self._train_epochs[denoise]
 
-    def _eval_epoch_fn(self, denoise: bool):
-        if denoise not in self._eval_epochs:
-            self._eval_epochs[denoise] = make_eval_epoch(self.cfg, denoise)
-        return self._eval_epochs[denoise]
+    def _eval_epoch_fn(self, denoise: bool, dump_keys=None):
+        k = (denoise, dump_keys)
+        if k not in self._eval_epochs:
+            self._eval_epochs[k] = make_eval_epoch(self.cfg, denoise, dump_keys)
+        return self._eval_epochs[k]
 
     def _cohort_device_data(self, ds: ArrayDataset) -> Dict:
         """Upload a cohort to HBM once (replicated across the mesh); later
@@ -317,7 +319,7 @@ class Trainer:
                 scope, ds, denoise, epoch_key, dump_keys
             )
 
-        step_fn = self._eval_step(denoise)
+        step_fn = self._eval_step(denoise, dump_keys)
         pending: list = []
 
         data = self._cohort_device_data(ds) if cfg.device_data else None
@@ -345,8 +347,6 @@ class Trainer:
                 losses, outputs = step_fn(self.params, self.state, batch, key)
             # keep device handles; one bulk fetch at epoch end so D2H
             # pipelines with compute instead of syncing every batch
-            if dump_keys is not None:
-                outputs = {k: v for k, v in outputs.items() if k in dump_keys}
             pending.append((losses, outputs, idx, n_real))
             if i % cfg.log_valid_freq == 1:
                 logger.info(
@@ -375,15 +375,13 @@ class Trainer:
         idx = np.arange(n_batches * b, dtype=np.int32)
         mask = (idx < n).astype(np.float32)
         idx = np.minimum(idx, n - 1)
-        epoch_fn = self._eval_epoch_fn(denoise)
+        epoch_fn = self._eval_epoch_fn(denoise, dump_keys)
         losses, outputs = epoch_fn(
             self.params, self.state, data,
             self._put_idx_mat(idx.reshape(n_batches, b)),
             self._put_idx_mat(mask.reshape(n_batches, b)),
             epoch_key,
         )
-        if dump_keys is not None:
-            outputs = {k: v for k, v in outputs.items() if k in dump_keys}
         losses, outputs = jax.device_get((losses, outputs))
 
         metrics = {k: float(np.mean(v)) for k, v in losses.items()}
@@ -423,7 +421,10 @@ class Trainer:
             raise NotImplementedError(cfg.norm_method)
         for k in ("ob", "rec_ob"):
             data = ob_pred[k]
-            renorm = (data + cfg.scale / 2) / cfg.scale  # back to [0, 1]
+            if cfg.scale != 0:  # scale=0 disables the affine input scaling
+                renorm = (data + cfg.scale / 2) / cfg.scale  # back to [0, 1]
+            else:
+                renorm = data
             for i, (lo, hi) in enumerate(MIN_MAX_VALUES.values()):
                 data[:, i, :] = renorm[:, i, :] * (hi - lo) + lo
             ob_pred[k] = data
