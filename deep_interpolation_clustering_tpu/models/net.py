@@ -108,9 +108,33 @@ def forward(
     sample_mask: Optional[Array] = None,
 ) -> NetOutput:
     """Full forward pass (reference pretrain_interp.py:130-167,
-    clustering_interp.py:134-189)."""
+    clustering_interp.py:134-189).
+
+    Runs under `cfg.matmul_precision`: TPU f32 matmuls default to bf16
+    inputs, which costs ~3e-3 of parity vs the CPU/torch baseline; the
+    "highest" default keeps the 1e-5 contract on real hardware.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _forward_impl(
+            params, state, cfg, x, fake_x, fake_perm_idx, positive_x,
+            train, key, sample_mask,
+        )
+
+
+def _forward_impl(
+    params: Dict,
+    state: Dict,
+    cfg: Config,
+    x: Array,
+    fake_x: Optional[Array],
+    fake_perm_idx: Optional[Array],
+    positive_x: Optional[Array],
+    train: bool,
+    key: Array,
+    sample_mask: Optional[Array],
+) -> NetOutput:
     k_rbf, k_future, k_aux, k_fake = jax.random.split(key, 4)
     new_state = dict(state)
 
