@@ -34,12 +34,17 @@ class KMeansResult(NamedTuple):
     n_iter: Array  # scalar
 
 
-def pairwise_sq_dist(x: Array, y: Array) -> Array:
+def pairwise_sq_dist(x: Array, y: Array, precision: str = "highest") -> Array:
     """Squared Euclidean distances `(N, M)` via the matmul identity —
-    one MXU pass instead of materializing (N, M, D) differences."""
+    one MXU pass instead of materializing (N, M, D) differences.
+
+    Default "highest" keeps cluster *assignments* exact on TPU (bf16
+    matmul operands can flip borderline argmins); the O(N^2) aggregate
+    metric sweeps pass "default" since their statistics tolerate it.
+    """
     x_sq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
     y_sq = jnp.sum(jnp.square(y), axis=1)
-    d = x_sq - 2.0 * (x @ y.T) + y_sq
+    d = x_sq - 2.0 * jnp.matmul(x, y.T, precision=precision) + y_sq
     return jnp.maximum(d, 0.0)
 
 

@@ -53,7 +53,8 @@ def pairwise_cluster_stats(x: Array, labels: Array, k: int, block: int = 1024) -
 
     def per_block(args):
         xb, lb = args
-        dist = jnp.sqrt(pairwise_sq_dist(xb, x))  # (block, N) vs valid points
+        # aggregate statistics tolerate default (fast) matmul precision
+        dist = jnp.sqrt(pairwise_sq_dist(xb, x, precision="default"))  # (block, N)
         sums = dist @ one_hot  # (block, K) — MXU
         # per-row min/max distance to each cluster: segment over the N axis
         row_min = jax.ops.segment_min(dist.T, labels_n, num_segments=k).T
