@@ -37,9 +37,10 @@ def lstm_init(key: Array, input_size: int, hidden: int, dtype=jnp.float32) -> Di
     }
 
 
-def _cell(p: Dict, h: Array, c: Array, x_t: Array) -> Tuple[Array, Array]:
-    """One LSTM step; torch gate order [i|f|g|o]."""
-    gates = x_t @ p["w_ih"].T + p["b_ih"] + h @ p["w_hh"].T + p["b_hh"]
+def _cell(p: Dict, h: Array, c: Array, x_gates: Array) -> Tuple[Array, Array]:
+    """One LSTM step; torch gate order [i|f|g|o]. `x_gates` is the
+    precomputed input projection `x_t @ w_ih.T + b_ih` for this step."""
+    gates = x_gates + h @ p["w_hh"].T + p["b_hh"]
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -53,13 +54,20 @@ def _cell(p: Dict, h: Array, c: Array, x_t: Array) -> Tuple[Array, Array]:
 def _scan_direction(
     p: Dict, xs: Array, h0: Array, c0: Array, reverse: bool
 ) -> Tuple[Array, Array, Array]:
-    def step(carry, x_t):
+    # hoist the input projection out of the sequential chain: ONE parallel
+    # (T*B, in)@(in, 4H) matmul instead of T serial ones; the scan keeps
+    # only the recurrent h @ w_hh. Addition order matches the fused form
+    # (x w_ih + b_ih first, recurrent terms after), so results are
+    # bit-identical to torch's gate computation.
+    x_gates = xs @ p["w_ih"].T + p["b_ih"]  # (T, B, 4H)
+
+    def step(carry, xg):
         h, c = carry
-        h, c = _cell(p, h, c, x_t)
+        h, c = _cell(p, h, c, xg)
         return (h, c), h
 
     (h_T, c_T), ys = jax.lax.scan(
-        step, (h0, c0), xs, reverse=reverse, unroll=min(xs.shape[0], 8)
+        step, (h0, c0), x_gates, reverse=reverse, unroll=min(xs.shape[0], 8)
     )
     return ys, h_T, c_T
 
