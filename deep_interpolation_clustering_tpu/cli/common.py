@@ -37,7 +37,7 @@ def build_parser(description: str) -> argparse.ArgumentParser:
             p.add_argument(flag, type=_str2bool, default=None, metavar="BOOL")
         elif isinstance(default, int):
             p.add_argument(flag, type=int, default=None)
-        elif isinstance(default, float) or f.name == "stopping_delta":
+        elif isinstance(default, float):
             p.add_argument(flag, type=float, default=None)
         elif isinstance(default, (dict, tuple, list)):
             p.add_argument(flag, type=str, default=None, help="JSON value")
@@ -47,7 +47,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 
 def _str2bool(v: str) -> bool:
-    return str(v).lower() in ("1", "true", "yes", "y")
+    s = str(v).lower()
+    if s in ("1", "true", "yes", "y"):
+        return True
+    if s in ("0", "false", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

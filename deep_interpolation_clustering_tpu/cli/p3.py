@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 
-from ..config import Config
 from ..info import COHORTS, METRICS
 from ..train import ClusterTrainer
 from ..utils import logger
@@ -23,7 +22,7 @@ def main(argv=None):
                         help="p1 run dir (default {results_path}/Pretrain)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
-    if cfg.loss == Config().loss:
+    if args.loss is None and not args.config:
         cfg = cfg.replace(loss="ae_mse_sup_fake_detect_kl")  # p3 default (p3:82)
     exp_path = init_run(cfg, "Clustering")
     pretrain_path = args.pretrain_path or os.path.join(cfg.results_path, "Pretrain")

@@ -145,7 +145,9 @@ def _forward_impl(
     # executes once instead of three times.
     b = x.shape[0]
     streams = [x]
-    use_fake = cfg.fake_detection and fake_x is not None
+    use_fake = (
+        cfg.fake_detection and fake_x is not None and fake_perm_idx is not None
+    )
     use_triplet = use_fake and cfg.triple_margin != 0.0 and positive_x is not None
     if use_fake:
         streams.append(fake_x)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..data.loader import augment_batch, make_fake_ob
+from ..data.loader import augment_batch, make_fake_ob, stack_input
 from ..models import forward
 from ..models.losses import compute_losses
 from ..ops.interpolation import split_planes
@@ -43,22 +43,27 @@ def build_inputs(
     and its labels permuted, and the optional triplet positive is a
     Gaussian-jittered copy.
     """
-    k_aug, k_fake, k_perm, k_pos_ob, k_pos_ts = jax.random.split(key, 5)
-    ob = batch["ob"]
+    k_aug, k_fake, k_fake_aug, k_perm, k_pos_ob, k_pos_ts = jax.random.split(key, 6)
+    ob_raw = batch["ob"]
     padding_mask = batch["padding_mask"]
-    timestamp = batch["timestamp"]
+    ts_raw = batch["timestamp"]
     ae_mask = batch["ae_mask"]
 
+    # the reference generates fakes from the RAW ob, then augments the real
+    # and fake streams independently (dataloader.py:133, 147-148, 196-217)
+    ob, timestamp = ob_raw, ts_raw
     if train and cfg.aug_input:
-        ob, timestamp = augment_batch(ob, timestamp, padding_mask, k_aug, cfg.aug_std)
+        ob, timestamp = augment_batch(
+            ob_raw, ts_raw, padding_mask, k_aug, cfg.aug_std
+        )
 
     ob = ob * padding_mask
 
-    def stack(o):
+    def stack(o, t):
         o_in = o * ae_mask if denoise else o
-        return jnp.concatenate([o_in, padding_mask, timestamp, ae_mask], axis=1)
+        return stack_input(o_in, padding_mask, t, ae_mask)
 
-    x = stack(ob)
+    x = stack(ob, timestamp)
     out: Dict[str, Any] = {
         "x": x,
         "ob": ob,
@@ -74,8 +79,13 @@ def build_inputs(
     out["sample_mask"] = sample_mask
 
     if cfg.fake_detection:
-        fake_ob = make_fake_ob(ob, padding_mask, k_fake, cfg.scale) * padding_mask
-        out["fake_x"] = stack(fake_ob)
+        fake_ob = make_fake_ob(ob_raw, padding_mask, k_fake, cfg.scale)
+        fake_ts = ts_raw
+        if train and cfg.aug_input:
+            fake_ob, fake_ts = augment_batch(
+                fake_ob, ts_raw, padding_mask, k_fake_aug, cfg.aug_std
+            )
+        out["fake_x"] = stack(fake_ob * padding_mask, fake_ts)
         b = ob.shape[0]
         label = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
         perm = jax.random.permutation(k_perm, 2 * b)
@@ -90,9 +100,7 @@ def build_inputs(
         pos_ts = (timestamp + jax.random.normal(k_pos_ts, timestamp.shape) * 0.01) * padding_mask
         # the reference never denoises the positive branch
         # (pretrain_trainer.py:171-173) — parity requires the raw jittered ob
-        out["positive_x"] = jnp.concatenate(
-            [pos_ob, padding_mask, pos_ts, ae_mask], axis=1
-        )
+        out["positive_x"] = stack_input(pos_ob, padding_mask, pos_ts, ae_mask)
 
     # supervised aux labels ride along untouched
     out["aux_label"] = {t: batch[t] for t in cfg.aux_tasks if t in batch}
