@@ -119,7 +119,9 @@ class Config:
     data_parallel: int = 0
     # route the SCI interpolation + RBF decode through the fused Pallas TPU
     # kernels (ops/pallas_interp.py); off-TPU they run interpreted (slow,
-    # tests only)
+    # tests only). On-chip the SCI kernel agrees with XLA to ~1e-4 (Mosaic
+    # transcendental approximations), so leave this off on the strict
+    # parity path.
     use_pallas: bool = False
     # keep the whole training cohort resident in device HBM and gather
     # batches on-device by index (one upload per cohort instead of one
