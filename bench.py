@@ -48,11 +48,7 @@ def bench_ours() -> float:
 
     from deep_interpolation_clustering_tpu import Config
     from deep_interpolation_clustering_tpu.models import init_net
-    from deep_interpolation_clustering_tpu.parallel import (
-        batch_sharding,
-        make_mesh,
-        replicate_tree,
-    )
+    from deep_interpolation_clustering_tpu.parallel import make_mesh, replicate_tree
     from deep_interpolation_clustering_tpu.train import make_optimizer
     from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
 

@@ -25,6 +25,7 @@ from deep_interpolation_clustering_tpu.data import (
     make_synthetic_cohorts,
     process_splits,
 )
+from deep_interpolation_clustering_tpu.parallel import make_mesh
 from deep_interpolation_clustering_tpu.train import Trainer
 
 N = 100_000
@@ -44,7 +45,12 @@ def main():
         log_train_freq=10_000, log_valid_freq=10_000, early_stopping=10_000,
     )
     datasets = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
-    tr = Trainer(cfg, datasets, "/tmp/scale100k_run", use_tensorboard=False)
+    n_dev = len(jax.devices())
+    mesh = (
+        make_mesh(n_dev) if n_dev > 1 and cfg.batch_size % n_dev == 0 else None
+    )
+    tr = Trainer(cfg, datasets, "/tmp/scale100k_run", mesh=mesh,
+                 use_tensorboard=False)
 
     # warmup epoch (compiles), then timed epochs
     tr.train_one_epoch(datasets["training"], denoise=False)
@@ -60,9 +66,16 @@ def main():
         "encounters_per_sec": round(n_train / dt, 1),
     }))
 
-    # latents for the full training cohort, then on-device gap statistic
+    # latents for the full training cohort, then on-device gap statistic.
+    # dump_keys skips the D2H of unneeded rec_ob; a warm pass excludes the
+    # one-time jit compile so the metric matches the warmed pretrain phase
+    tr.eval_one_epoch("train", datasets["training"], denoise=False,
+                      dump_keys=("hidden",))  # same cohort: scan length is
+    # part of the compiled shape, so only this warms the right program
     t0 = time.time()
-    metrics, dumps = tr.eval_one_epoch("train", datasets["training"], denoise=False)
+    metrics, dumps = tr.eval_one_epoch(
+        "train", datasets["training"], denoise=False, dump_keys=("hidden",)
+    )
     hidden = np.concatenate(dumps["hidden"], axis=0)
     print(json.dumps({
         "metric": "latent_extract_seconds_100k", "value": round(time.time() - t0, 2),

@@ -53,18 +53,25 @@ class StepTimer:
         self._tick: Optional[float] = None
 
     def start(self):
-        import jax
+        from .timing import hard_sync
 
-        jax.effects_barrier()
+        hard_sync()
         self._tick = time.perf_counter()
 
     def stop(self, result=None):
         import jax
 
+        from .timing import hard_sync
+
         if result is not None:
+            # fetch one leaf: device_get is the only reliable sync on
+            # tunneled backends (block_until_ready can return early)
+            leaves = jax.tree_util.tree_leaves(result)
+            if leaves:
+                jax.device_get(leaves[0])
             jax.block_until_ready(result)
         else:
-            jax.effects_barrier()
+            hard_sync()
         assert self._tick is not None, "stop() without start()"
         self.samples.append(time.perf_counter() - self._tick)
         self._tick = None

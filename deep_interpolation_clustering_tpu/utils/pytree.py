@@ -13,6 +13,8 @@ def tree_size(tree) -> int:
 
 def global_norm(tree) -> jnp.ndarray:
     """L2 norm over all leaves, matching torch.nn.utils.clip_grad_norm_'s
-    total-norm definition."""
-    leaves = [jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree)]
-    return jnp.sqrt(jnp.sum(jnp.stack(leaves)))
+    total-norm definition (delegates to optax; clipping in train/optim.py
+    uses optax.clip_by_global_norm with identical semantics)."""
+    import optax
+
+    return optax.global_norm(tree)

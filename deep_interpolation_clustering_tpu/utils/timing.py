@@ -29,18 +29,32 @@ def timer(message: str):
     logger.info("%s: %s", message, _fmt(time.time() - tick))
 
 
+def hard_sync(devices=None) -> None:
+    """Force completion of all work queued on each device.
+
+    Per-device execution is FIFO, so fetching the result of a freshly
+    enqueued trivial program implies everything queued before it finished.
+    The fetch goes through device_get because on tunneled backends
+    `block_until_ready` (and `effects_barrier`, which only waits on
+    side-effect tokens, not pure computations) can return early.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    for d in devices if devices is not None else jax.devices():
+        jax.device_get(jax.device_put(jnp.zeros(()), d) + 1.0)
+
+
 @contextmanager
 def block_timer(message: str, result: dict | None = None):
-    """Time a block, blocking on all pending device work at exit.
+    """Time a block, hard-syncing all pending device work at entry and exit.
 
     Pass `result` to capture the elapsed seconds under key 'seconds'.
     """
-    import jax
-
-    jax.block_until_ready(jax.numpy.zeros(()))
+    hard_sync()
     tick = time.time()
     yield
-    jax.effects_barrier()
+    hard_sync()
     diff = time.time() - tick
     if result is not None:
         result["seconds"] = diff
