@@ -34,8 +34,11 @@ def main(argv=None):
         if args.cluster_algo == "kmeans":
             out = KSelection(cfg, out_path).select_opt_k(train_h, valid_h, seed=cfg.seed)
             for method, r in out.items():
-                logger.info("[%s] %s -> %s", metric, method,
-                            {k: v for k, v in r.items() if k.endswith("_k")})
+                logger.info(
+                    "[%s] %s -> %s", metric, method,
+                    {k: v for k, v in r.items()
+                     if k.startswith("opt_k") or k.startswith("elbow")},
+                )
         elif args.cluster_algo == "dbscan":
             ex = DbscanExplorer(cfg, out_path)
             kd = ex.k_distance_graph(train_h)

@@ -140,12 +140,16 @@ class KSelection:
             )
             rows.append(row)
 
-        # Tibshirani rule: smallest k with gap(k) >= gap(k+1) - s(k+1)
+        # Tibshirani rule: smallest k with gap(k) >= gap(k+1) - s(k+1).
+        # On under-trained latents the gap can rise monotonically and the
+        # rule never fires; the argmax-gap fallback still gives a usable
+        # suggestion (and matches how the reference's human reads the plot).
         opt_k = None
         for i in range(len(rows) - 1):
             if rows[i]["gap"] >= rows[i + 1]["gap"] - rows[i + 1]["ref_s"]:
                 opt_k = rows[i]["k"]
                 break
+        opt_k_argmax = max(rows, key=lambda r: r["gap"])["k"]
 
         csv_path = os.path.join(self.out_path, f"gap_sts_v{version}.csv")
         with open(csv_path, "w", newline="") as f:
@@ -169,7 +173,12 @@ class KSelection:
                 plt.savefig(os.path.join(self.out_path, f"gap_statistic-2_v{version}.png"))
                 plt.close()
             _maybe_plot(draw)
-        return {"rows": rows, "opt_k": opt_k, "csv": csv_path}
+        return {
+            "rows": rows,
+            "opt_k": opt_k,
+            "opt_k_argmax": opt_k_argmax,
+            "csv": csv_path,
+        }
 
     def select_opt_k(
         self, train_feat: np.ndarray, valid_feat: np.ndarray, seed: int = 0

@@ -126,5 +126,8 @@ def test_kselection_elbow_and_gap(tmp_path, rng):
     assert ks == [2, 3, 4, 5, 6]
     # gap rises until the planted K then flattens/drops -> Tibshirani picks <= 4
     assert gap["opt_k"] is not None and gap["opt_k"] <= 4
+    # argmax fallback always exists (for monotone gap curves where the
+    # Tibshirani rule never fires)
+    assert gap["opt_k_argmax"] in ks
     # internal metrics present
     assert "Sihouette" in gap["rows"][0]

@@ -196,3 +196,51 @@ def test_export_roundtrip(inputs):
         h2, r2, _ = model2(torch.tensor(x), torch.tensor(fake_x), torch.tensor(perm), None)
     np.testing.assert_allclose(h1.numpy(), h2.numpy(), atol=1e-6)
     np.testing.assert_allclose(r1.numpy(), r2.numpy(), atol=1e-6)
+
+
+def test_triplet_branch_parity(inputs, rng):
+    """Triplet branch parity at the reference's scale=20 config
+    (clustering_interp.py:174-183, 234-236): same weights + identical
+    positive/fake inputs -> same positive/negative latents and triplet loss."""
+    from clustering_interp import Net
+
+    x, fake_x, perm = inputs
+    args = _args(clustering=True)
+    args.triple_margin = 1.0
+    args.scale = 20
+    model = Net(args, torch.device("cpu"))
+    model.init_cluster_center(torch.tensor(rng.randn(4, 256).astype(np.float32)))
+    model.eval()
+
+    pos_x = _planes(np.random.RandomState(5))
+    with torch.no_grad():
+        t_hidden, _, t_aux = model(
+            torch.tensor(x), torch.tensor(fake_x), torch.tensor(perm),
+            torch.tensor(pos_x),
+        )
+        t_trip = model.triplet_loss(
+            t_hidden, t_aux["positive"], t_aux["negative"], args.triple_margin
+        )
+
+    cfg = _cfg(True).replace(triple_margin=1.0, scale=20)
+    params, state = import_torch_state_dict(model.state_dict())
+    out = forward(
+        params, state, cfg, x, fake_x=fake_x, fake_perm_idx=perm,
+        positive_x=pos_x, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux["positive"]), t_aux["positive"].numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux["negative"]), t_aux["negative"].numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+    from deep_interpolation_clustering_tpu.models.losses import triplet_loss
+
+    ours = triplet_loss(
+        out.hidden, out.aux["positive"], out.aux["negative"], 1.0
+    )
+    np.testing.assert_allclose(
+        float(ours["triplet"]), float(t_trip["triplet"]), rtol=1e-5, atol=1e-6
+    )
