@@ -24,13 +24,15 @@ def main(argv=None):
 
     datasets = make_datasets(cfg)
     trainer = Trainer(cfg, datasets, exp_path)
-    if cfg.mode == "train":
-        trainer.train()
-    # feature dumps for every restore metric x cohort (reference p1:143-146)
-    for metric in PRETRAIN_FEAT_METRICS:
-        trainer.cfg = cfg.replace(restore_metric=metric, mode="eval")
-        for cohort in COHORTS:
-            trainer.eval(cohort, generate_feat=True, viz_feat=True)
+    try:
+        if cfg.mode == "train":
+            trainer.train()
+        # feature dumps for every restore metric x cohort (reference p1:143-146)
+        for metric in PRETRAIN_FEAT_METRICS:
+            for cohort in COHORTS:
+                trainer.eval(cohort, generate_feat=True, viz_feat=True, metric=metric)
+    finally:
+        trainer.close()
     logger.info("p1 done: %s", exp_path)
 
 

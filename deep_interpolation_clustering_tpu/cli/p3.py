@@ -29,12 +29,14 @@ def main(argv=None):
 
     datasets = make_datasets(cfg)
     trainer = ClusterTrainer(cfg, datasets, exp_path, pretrain_exp_path=pretrain_path)
-    if cfg.mode == "train":
-        trainer.train()
-    for metric in METRICS:  # reference p3:140-143 dumps all three
-        trainer.cfg = cfg.replace(dc_restore_metric=metric, mode="eval")
-        for cohort in COHORTS:
-            trainer.eval(cohort, generate_feat=True, viz_feat=True)
+    try:
+        if cfg.mode == "train":
+            trainer.train()
+        for metric in METRICS:  # reference p3:140-143 dumps all three
+            for cohort in COHORTS:
+                trainer.eval(cohort, generate_feat=True, viz_feat=True, metric=metric)
+    finally:
+        trainer.close()
     logger.info("p3 done: %s", exp_path)
 
 

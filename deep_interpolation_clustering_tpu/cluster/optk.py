@@ -110,20 +110,26 @@ class KSelection:
         rng = np.random.RandomState(seed)
         rows: List[Dict] = []
         ks = list(range(2, cfg.k_max + 1))
+        # Disjoint key streams via fold_in: arithmetic seed composition
+        # (seed*1000 + k*17 + b) collides with the data-fit key whenever
+        # k = 17k' + b, correlating a reference fit with the actual fit.
+        root = jax.random.PRNGKey(seed)
+        ref_stream = jax.random.fold_in(root, 0)
+        data_stream = jax.random.fold_in(root, 1)
         for k in ks:
             logs = []
+            ref_k = jax.random.fold_in(ref_stream, k)
             for b in range(cfg.gap_b):
                 ref = (
                     rng.random_sample(data.shape).astype(np.float32) * rng_width + lo
                 )
                 r = kmeans_fit(
-                    jax.random.PRNGKey(seed * 1000 + k * 17 + b),
-                    ref, k, n_init=cfg.n_init,
+                    jax.random.fold_in(ref_k, b), ref, k, n_init=cfg.n_init
                 )
                 logs.append(np.log(float(inertia(ref, r.labels, k))))
             ref_mean, ref_std = float(np.mean(logs)), float(np.std(logs))
             ref_s = float(np.sqrt(1 + 1 / cfg.gap_b) * ref_std)
-            r = kmeans_fit(jax.random.PRNGKey(seed * 1000 + k), data, k, n_init=cfg.n_init)
+            r = kmeans_fit(jax.random.fold_in(data_stream, k), data, k, n_init=cfg.n_init)
             act = float(np.log(float(inertia(data, r.labels, k))))
             row = {
                 "k": k,

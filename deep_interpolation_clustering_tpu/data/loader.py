@@ -134,7 +134,15 @@ def make_fake_ob(ob: Array, padding_mask: Array, key: Array, scale: float) -> Ar
     b, c, t = ob.shape
     k_sel, k_noise = jax.random.split(key)
     n_valid = jnp.sum(padding_mask, axis=2, keepdims=True)  # (B, C, 1)
-    num_perm = jnp.maximum(1, jnp.floor(0.5 * n_valid)).astype(jnp.int32)
+    # Channels with zero valid observations select nothing — their "fake"
+    # row equals the real one. The p0 pipeline never produces such channels
+    # (mean_imputation guarantees >=1 observation), but the contract is
+    # explicit rather than an accident of inf-score ties.
+    num_perm = jnp.where(
+        n_valid > 0,
+        jnp.maximum(1, jnp.floor(0.5 * n_valid)),
+        0,
+    ).astype(jnp.int32)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, c, t), 2)
     scores = jax.random.uniform(k_sel, (b, c, t))

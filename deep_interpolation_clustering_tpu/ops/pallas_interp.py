@@ -248,12 +248,14 @@ def _rbf_fwd(kernel, proj, raw_input, ref_points, hours_look_ahead):
 
 def _rbf_bwd(ref_points, hours_look_ahead, res, g):
     kernel, proj, raw_input = res
+    # raw_input is differentiated too: its timestamp/mask planes get real
+    # cotangents, matching the XLA rbf_decode path (they are data today, but
+    # a learned augmentation would silently lose gradients otherwise)
     _, vjp = jax.vjp(
-        lambda k, p: _rbf_jnp_reference(k, p, raw_input, ref_points, hours_look_ahead),
-        kernel, proj,
+        lambda k, p, ri: _rbf_jnp_reference(k, p, ri, ref_points, hours_look_ahead),
+        kernel, proj, raw_input,
     )
-    dk, dp = vjp(g)
-    return dk, dp, None
+    return vjp(g)
 
 
 rbf_project_pallas.defvjp(_rbf_fwd, _rbf_bwd)

@@ -68,12 +68,12 @@ def replicate_tree(mesh: Optional[Mesh], tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def pad_batch_to(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
+def pad_batch_to(batch: Dict[str, np.ndarray], size: int):
     """Zero-pad every array's leading axis to `size`; adds `sample_mask`
     marking real rows so loss/metric reductions ignore the padding.
 
     Keeps every eval batch the same shape (one XLA compilation) and keeps
-    the batch divisible across the mesh.
+    the batch divisible across the mesh. Returns `(padded_batch, n_real)`.
     """
     n = None
     for v in batch.values():
@@ -91,5 +91,4 @@ def pad_batch_to(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarra
     mask = np.zeros((size,), np.float32)
     mask[:n] = 1.0
     out["sample_mask"] = mask
-    out["_n_real"] = n
-    return out
+    return out, n

@@ -39,7 +39,9 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         elif name == "sgd":
             txs.append(optax.trace(decay=0.9, nesterov=True))
         elif name == "rmsprop":
-            txs.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+            # eps_in_sqrt=False: torch.optim.RMSprop divides by sqrt(nu)+eps,
+            # optax's default divides by sqrt(nu+eps)
+            txs.append(optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False))
             txs.append(optax.trace(decay=0.9, nesterov=False))
         else:
             raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

@@ -341,8 +341,7 @@ class Trainer:
             else:
                 batch = ds.batch(idx)
                 batch.pop("index")
-                batch = pad_batch_to(batch, cfg.batch_size)
-                batch.pop("_n_real")
+                batch, _ = pad_batch_to(batch, cfg.batch_size)
                 batch = shard_batch(self.mesh, batch)
                 losses, outputs = step_fn(self.params, self.state, batch, key)
             # keep device handles; one bulk fetch at epoch end so D2H
@@ -436,10 +435,15 @@ class Trainer:
         generate_feat: bool = False,
         viz_feat: bool = False,
         denoise: bool = False,
+        metric: Optional[str] = None,
     ) -> Dict[str, np.ndarray]:
-        """Restore the best checkpoint and dump per-encounter features
-        (reference pretrain_trainer.py:90-117)."""
-        self.load_weight()
+        """Restore the best checkpoint for `metric` (default: the config's
+        restore metric) and dump per-encounter features
+        (reference pretrain_trainer.py:90-117). Passing `metric` explicitly
+        is how callers sweep restore metrics — the jitted steps close over
+        `self.cfg`, so the config must never be swapped after construction."""
+        metric = metric or self.restore_metric
+        self.load_weight(metric)
         ds = self.datasets[cohort]
         scope = COHORT2SCOPE[cohort]
         if self.cfg.evaluate_interpolation:
@@ -450,9 +454,7 @@ class Trainer:
         ob_pred = self.re_norm_data(ob_pred)
 
         if generate_feat:
-            folder = os.path.join(
-                self.exp_path, "out_feat", self.restore_metric
-            )
+            folder = os.path.join(self.exp_path, "out_feat", metric)
             os.makedirs(folder, exist_ok=True)
             suffix = "_interp_eval" if self.cfg.evaluate_interpolation else ""
             np_f = os.path.join(folder, f"{cohort}{suffix}.npy")
@@ -510,6 +512,10 @@ class Trainer:
             self.lr_schedule.lr = meta["lr"]
             set_learning_rate(self.opt_state, meta["lr"])
         logger.info("=> restored checkpoint %s (epoch %d)", path, epoch)
+
+    def close(self) -> None:
+        """Release the summary writer's file handles (JSONL + TB)."""
+        self.summary.close()
 
 
 def _fmt(d: Dict[str, float], decimals: int = 4) -> Dict[str, float]:

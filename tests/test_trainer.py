@@ -72,6 +72,8 @@ def test_pretrain_eval_dump_roundtrip(tmp_path, cohorts):
 
 
 def test_trainer_restore_continues(tmp_path, cohorts):
+    from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
+
     cfg = tiny_cfg(max_epochs=3)
     tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
     tr.train()
@@ -81,8 +83,15 @@ def test_trainer_restore_continues(tmp_path, cohorts):
     tr2 = Trainer(cfg2, make_datasets(cfg2, cohorts), str(tmp_path), use_tensorboard=False)
     tr2.load_weight()
     assert tr2.epoch == best_epoch
-    # restored params equal saved ones
-    a = jax.device_get(tr.params) if best_epoch == tr.epoch else None
+    # restored params are exactly the checkpointed ones, leaf for leaf
+    ckpt_path = tmp_path / "weight" / "ae_mse" / ckpt.CKPT_NAME
+    _, saved_params, saved_state, _, _ = ckpt.load_checkpoint(str(ckpt_path))
+    restored = jax.device_get(tr2.params)
+    flat_saved = jax.tree_util.tree_leaves_with_path(saved_params)
+    flat_restored = dict(jax.tree_util.tree_leaves_with_path(restored))
+    assert len(flat_saved) == len(flat_restored)
+    for path, leaf in flat_saved:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_restored[path]))
     m, _ = tr2.eval_one_epoch("valid", tr2.datasets["validation"], denoise=False)
     assert np.isfinite(m["loss"])
 
