@@ -32,7 +32,10 @@ import numpy as np
 def _np(v) -> np.ndarray:
     if hasattr(v, "detach"):  # torch tensor
         v = v.detach().cpu().numpy()
-    return np.asarray(v, np.float32)
+    # copy=True: tensor.numpy() SHARES memory with the live torch tensor, so
+    # an aliasing view here would silently track in-place torch mutations
+    # (e.g. optimizer.step()) after the import
+    return np.array(v, np.float32, copy=True)
 
 
 def _lstm(sd: Dict, prefix: str) -> Dict:

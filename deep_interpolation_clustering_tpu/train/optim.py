@@ -17,11 +17,62 @@ mutates it between epochs without recompiling the jitted train step.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import chex
+import jax
+import jax.numpy as jnp
 import optax
 
 from ..config import Config
+
+
+class ScaleByTorchAmsgradState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_torch_amsgrad(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(amsgrad=True) semantics, exactly.
+
+    torch maxes the RAW second moment and divides the maxed value's sqrt by
+    sqrt(bias_correction2) (torch adam: `denom = max_exp_avg_sq.sqrt() /
+    bc2_sqrt + eps`). optax.scale_by_amsgrad instead maxes the
+    bias-CORRECTED moment — the two diverge from step 2 onward whenever
+    squared-gradient magnitudes decay (the usual case), because an early
+    large nu/(1-b2^1) dominates the corrected max forever while torch's raw
+    max gets re-corrected by the growing (1-b2^t). Trained-model parity vs
+    the reference (utils.py:77-83) needs the torch form."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ScaleByTorchAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros(), nu_max=zeros()
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
+        )
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        count = optax.safe_increment(state.count)
+        bc1 = 1.0 - jnp.power(b1, count)
+        bc2_sqrt = jnp.sqrt(1.0 - jnp.power(b2, count))
+        out = jax.tree_util.tree_map(
+            lambda m, vmax: (m / bc1) / (jnp.sqrt(vmax) / bc2_sqrt + eps),
+            mu, nu_max,
+        )
+        return out, ScaleByTorchAmsgradState(count=count, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -35,7 +86,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
             txs.append(optax.add_decayed_weights(cfg.weight_decay_rate))
         name = cfg.optimizer.lower()
         if name == "adam":
-            txs.append(optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-8))
+            txs.append(scale_by_torch_amsgrad(b1=0.9, b2=0.999, eps=1e-8))
         elif name == "sgd":
             txs.append(optax.trace(decay=0.9, nesterov=True))
         elif name == "rmsprop":

@@ -198,6 +198,139 @@ def test_export_roundtrip(inputs):
     np.testing.assert_allclose(r1.numpy(), r2.numpy(), atol=1e-6)
 
 
+def test_train_step_parity(inputs):
+    """One-step (and 5-step) gradient/optimizer parity vs torch: identical
+    weights + batch, torch `loss.backward()` -> `clip_grad_norm_` ->
+    Adam(amsgrad, coupled L2).step() (reference pretrain_trainer.py:227-229,
+    utils.py:77-83) must produce the same updated params at 1e-5.
+
+    Dropout is 0 so the forwards are deterministic; BN runs in train mode
+    (batch stats) on both sides. grad_clip is set to half the measured
+    first-step gradient norm so the clipping branch is actually exercised.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deep_interpolation_clustering_tpu.models.losses import compute_losses
+    from deep_interpolation_clustering_tpu.train.optim import make_optimizer
+    from pretrain_interp import Net
+
+    x, fake_x, perm = inputs
+    args = _args()
+    args.dropout = 0.0
+    args.unsup_aux_tasks = {"fake_detection": 1, "triplet": 1, "kl": 10}
+    args.aux_pos_weights = {}
+    torch.manual_seed(0)  # deterministic init (the reference never seeds torch)
+    model = Net(args, torch.device("cpu"))
+    model.train()
+
+    rng2 = np.random.RandomState(1)
+    ob = x[:, :C]
+    mask = x[:, C : 2 * C]
+    fv = rng2.rand(B, C).astype(np.float32)
+    fvm = (rng2.rand(B, C) < 0.9).astype(np.float32)
+    label = np.concatenate([np.ones(B), np.zeros(B)])[perm].astype(np.int64)
+
+    def torch_loss():
+        hidden, rec_ob, aux_pred = model(
+            torch.tensor(x), torch.tensor(fake_x), torch.tensor(perm), None
+        )
+        rec_d = model.rec_loss(
+            torch.tensor(ob * mask), rec_ob, torch.tensor(mask)
+        )
+        aux_d = model.sup_aux_loss(
+            args.aux_tasks, {"future_vital": torch.tensor(fv)}, aux_pred,
+            torch.tensor(fvm),
+        )
+        fake_d = model.fake_det_loss(torch.tensor(label), aux_pred["fake_det"])
+        tasks = dict(args.aux_tasks)
+        tasks.update(args.unsup_aux_tasks)
+        task_losses = dict(aux_d)
+        task_losses.update(fake_d)
+        return model.multi_task_loss(tasks, rec_d, task_losses)["loss"]
+
+    lr, wd, n_steps = 3e-3, 4e-4, 5
+    t_opt = torch.optim.Adam(
+        model.parameters(), lr=lr, weight_decay=wd, amsgrad=True
+    )
+
+    cfg = _cfg().replace(
+        dropout=0.0, init_lr=lr, weight_decay_rate=wd,
+        loss="ae_mse_sup_fake_detect",
+    )
+    params, state = import_torch_state_dict(model.state_dict())
+
+    def loss_fn(params, state):
+        out = forward(
+            params, state, cfg, x, fake_x=fake_x, fake_perm_idx=perm,
+            train=True, key=jax.random.PRNGKey(0),
+        )
+        losses = compute_losses(
+            cfg, jnp.asarray(ob * mask), jnp.asarray(mask), out,
+            {"future_vital": jnp.asarray(fv)}, jnp.asarray(fvm),
+            jnp.asarray(label), None, None,
+        )
+        return losses["loss"], out.state
+
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+
+    # pick a clip that BITES: half the measured first-step grad norm
+    # (measured functionally on our side, so neither side's BN buffers move)
+    g0, _ = grad_fn(params, state)
+    clip = float(optax.global_norm(g0)) / 2.0
+    optimizer = make_optimizer(cfg.replace(grad_clip=clip))
+    opt_state = optimizer.init(params)
+
+    def assert_params_close(tag, state_atol=1e-5):
+        """1e-5 parity, modulo Adam's eps-scale denominators: for elements
+        with |g| ~ eps=1e-8, the t=1 update is lr * g/(|g|+eps) whose
+        sensitivity to float32 gradient noise is lr*eps/(|g|+eps)^2 — up to
+        ~1e6x — so a handful of near-zero-grad elements legitimately land
+        1e-5..5e-4 apart. Allow <=0.01% such elements, each bounded by 1e-3
+        (a REAL divergence — wrong gate order, misapplied weight decay,
+        wrong amsgrad max — moves many elements by >1e-2 and trips the
+        counter). Measured: ~19 of 648k elements beyond 1e-5 after step 1."""
+        t_params, t_state = import_torch_state_dict(model.state_dict())
+        flat_t = dict(jax.tree_util.tree_leaves_with_path(t_params))
+        flat_ours = jax.tree_util.tree_leaves_with_path(jax.device_get(params))
+        assert len(flat_t) == len(flat_ours)
+        n_viol = n_tot = 0
+        for path, leaf in flat_ours:
+            ours, theirs = np.asarray(leaf), np.asarray(flat_t[path])
+            diff = np.abs(ours - theirs)
+            tol = 1e-5 + 1e-5 * np.abs(theirs)
+            assert diff.max() < 1e-3, (
+                f"param mismatch {tag} at {path}: max {diff.max():.2e}"
+            )
+            n_viol += int((diff > tol).sum())
+            n_tot += diff.size
+        assert n_viol <= max(1, n_tot // 10_000), (
+            f"{tag}: {n_viol}/{n_tot} elements beyond 1e-5"
+        )
+        flat_ts = dict(jax.tree_util.tree_leaves_with_path(t_state))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(jax.device_get(state)):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_ts[path]), rtol=1e-5,
+                atol=state_atol, err_msg=f"state mismatch {tag} at {path}",
+            )
+
+    for step in range(n_steps):
+        # torch step
+        model.zero_grad()
+        torch_loss().backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), clip)
+        t_opt.step()
+        # our step
+        grads, state = grad_fn(params, state)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if step == 0:
+            assert_params_close("after 1 step")
+    # BN running stats integrate the (bounded) param drift across steps
+    assert_params_close(f"after {n_steps} steps", state_atol=1e-4)
+
+
 def test_triplet_branch_parity(inputs, rng):
     """Triplet branch parity at the reference's scale=20 config
     (clustering_interp.py:174-183, 234-236): same weights + identical
