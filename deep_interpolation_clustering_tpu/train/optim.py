@@ -8,7 +8,9 @@ Reproduces the reference's torch factories (utils.py:77-99):
   * LR schedules are *epoch-level* and driven by the trainer, matching the
     reference's `scheduler.step()` in `aly_pred` (pretrain_trainer.py:372-379):
     `step` (StepLR), `plateau` (ReduceLROnPlateau 'min', rel threshold 1e-4),
-    `warmup` (linear multiplier ramp to 8x over 10 epochs, then StepLR).
+    `warmup` (linear multiplier ramp to 8x over 10 epochs, then a hand-off
+    crash back to base LR and StepLR decay from base — the measured
+    GradualWarmupScheduler+StepLR trajectory, see tests/test_warmup_oracle.py).
     The post-step LR is clamped to `min_lr`.
 
 The learning rate is injected as an optax hyperparameter so the epoch driver
@@ -143,8 +145,20 @@ class LRSchedule:
             if e <= total:
                 self.lr = cfg.init_lr * (1.0 + (m - 1.0) * e / total)
             else:
-                k = (e - total) // cfg.lr_decay_step_or_patience
-                self.lr = cfg.init_lr * m * cfg.lr_decay_rate**k
+                # Measured GradualWarmupScheduler + StepLR behavior (the
+                # packages behind reference utils.py:95, oracle-tested in
+                # tests/test_warmup_oracle.py), which differs from the naive
+                # reading in two ways:
+                #   * the hand-off step writes the after-scheduler's stale
+                #     pre-warmup _last_lr, so the LR CRASHES from
+                #     multiplier*base back to base after the ramp;
+                #   * torch's StepLR (>=1.1) decays the *current* optimizer
+                #     LR recursively, so the multiplied base_lrs the package
+                #     installs never take effect, and its epoch counter only
+                #     starts after the hand-off — decays fire at
+                #     e = total + 1 + k*step from the BASE lr.
+                k = (e - total - 1) // cfg.lr_decay_step_or_patience
+                self.lr = cfg.init_lr * cfg.lr_decay_rate**k
         elif mode == "plateau":
             assert valid_loss is not None
             if valid_loss < self._best * (1.0 - 1e-4):
