@@ -16,6 +16,7 @@ from .metrics import (
     compute_internal_metrics,
     INTERNAL_METRICS,
 )
+from .sklearn_compat import kmeans_fit_sklearn, kmeanspp_sklearn
 from .kneedle import kneedle
 from .align import generate_align_map, align_labels, align_labels_with_center
 from .optk import KSelection, DbscanExplorer, OpticsExplorer
@@ -36,6 +37,8 @@ __all__ = [
     "inertia_v2",
     "compute_internal_metrics",
     "INTERNAL_METRICS",
+    "kmeans_fit_sklearn",
+    "kmeanspp_sklearn",
     "kneedle",
     "generate_align_map",
     "align_labels",

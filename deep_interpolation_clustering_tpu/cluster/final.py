@@ -27,7 +27,22 @@ from ..config import Config
 from ..info import COHORTS
 from ..utils import logger
 from .align import align_labels, align_labels_with_center, generate_align_map
-from .kmeans import kmeans_fit, kmeans_predict
+from .kmeans import KMeansResult, kmeans_fit, kmeans_predict
+
+
+def fit_kmeans_impl(
+    cfg: Config, seed: int, x: np.ndarray, k: int, n_init: int
+) -> KMeansResult:
+    """Dispatch on `cfg.kmeans_impl`: on-device jitted k-means (production)
+    or the host-side sklearn-exact mirror (migration validation — identical
+    labels to `sklearn.KMeans(n_init, random_state=seed)`)."""
+    if cfg.kmeans_impl == "sklearn":
+        from .sklearn_compat import kmeans_fit_sklearn
+
+        return kmeans_fit_sklearn(x, k, n_init=n_init, random_state=seed)
+    if cfg.kmeans_impl != "device":
+        raise ValueError(f"unknown kmeans_impl {cfg.kmeans_impl!r}")
+    return kmeans_fit(jax.random.PRNGKey(seed), x, k, n_init=n_init)
 
 LOAD_KEYS = ("encounter_id", "hidden", "ob", "padding_mask")
 DL_KEYS = ("cluster_pred", "cluster_label")
@@ -89,8 +104,8 @@ class FinalLabeler:
         cfg = self.cfg
         opt_k = cfg.num_clusters
         train = data["training"]
-        result = kmeans_fit(
-            jax.random.PRNGKey(seed), train["hidden"], opt_k, n_init=cfg.kmeans_n_init
+        result = fit_kmeans_impl(
+            cfg, seed, train["hidden"], opt_k, n_init=cfg.kmeans_n_init
         )
         train_raw = np.asarray(kmeans_predict(result.centers, train["hidden"]))
         align_map, _, _ = generate_align_map(

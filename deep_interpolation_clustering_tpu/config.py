@@ -65,6 +65,11 @@ class Config:
     stopping_delta: Optional[float] = 1e-4
     update_interval: int = 1
     kmeans_n_init: int = 20
+    # "device": on-device jitted k-means (production). "sklearn": host-side
+    # NumPy mirror of sklearn.KMeans's exact RNG path — bit-identical labels
+    # to a seeded reference run (cluster/sklearn_compat.py), for migration
+    # validation against p4_clustering_final.py:159 / clustering_trainer.py:75.
+    kmeans_impl: str = "device"
 
     # ---- learning ------------------------------------------------------
     loss: str = "ae_mse_sup_fake_detect"

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cluster.kmeans import kmeans_fit, kmeans_predict
+from ..cluster.kmeans import kmeans_predict
 from ..config import Config
 from ..data.loader import ArrayDataset
 from ..utils import logger, timer
@@ -95,9 +95,10 @@ class ClusterTrainer(Trainer):
         train_feat = self.generate_pretrain_feat("training")
         hidden = train_feat["hidden"]
         if mode == "kmeans":
-            km_key = jax.random.PRNGKey(cfg.seed)
-            result = kmeans_fit(
-                km_key, hidden, cfg.cluster_number, n_init=cfg.kmeans_n_init
+            from ..cluster.final import fit_kmeans_impl
+
+            result = fit_kmeans_impl(
+                cfg, cfg.seed, hidden, cfg.cluster_number, n_init=cfg.kmeans_n_init
             )
             centers = np.asarray(result.centers)
             valid_feat = self.generate_pretrain_feat("validation")
