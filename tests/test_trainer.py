@@ -127,9 +127,17 @@ def test_cluster_trainer_end_to_end(tmp_path, cohorts):
 
 def test_sharded_trainer_matches_single_device(tmp_path):
     """Data-parallel over the 8-device CPU mesh must reproduce the
-    single-device epoch numerically (global-batch BN + loss reductions).
-    Cohort sized so the train split divides the batch evenly — both mesh
-    sizes then see identical batches."""
+    single-device run numerically (global-batch BN + loss reductions) over
+    TWO full epochs — where reduction-order drift would compound — down to
+    final params and dumped latents. Cohort sized so the train split
+    divides the batch evenly; both mesh sizes then see identical batches.
+
+    Measured drift (the bounds asserted are ~10x the measurement):
+    per-epoch losses ~1e-7, valid ae_mse ~1e-4, latents ~1e-5; a few
+    near-zero-gradient params reach ~1e-3 because Adam's eps denominator
+    amplifies reduction-order noise (same mechanism as the torch train-step
+    parity test), so params get a 0.1%-of-elements/5e-3 bound instead of a
+    uniform one."""
     raw = make_synthetic_cohorts(
         n_total=160, max_obs=24, seed=12, split=(0.8, 0.1, 0.1)
     )
@@ -141,16 +149,37 @@ def test_sharded_trainer_matches_single_device(tmp_path):
     tr1 = Trainer(cfg, ds1, str(tmp_path / "one"), mesh=make_mesh(1), use_tensorboard=False)
     tr8 = Trainer(cfg, ds8, str(tmp_path / "eight"), mesh=make_mesh(8), use_tensorboard=False)
 
-    m1 = tr1.train_one_epoch(ds1["training"], denoise=False)
-    m8 = tr8.train_one_epoch(ds8["training"], denoise=False)
-    # same seed, same data, same GLOBAL-batch reduction semantics; sharded
-    # float sums legitimately reorder, so tolerance is loose-but-tiny
-    # relative to the metric (~5e-4 abs on O(1) losses)
-    assert abs(m1["loss"] - m8["loss"]) < 5e-4
+    for _ in range(2):
+        m1 = tr1.train_one_epoch(ds1["training"], denoise=False)
+        m8 = tr8.train_one_epoch(ds8["training"], denoise=False)
+        # same seed, same data, same GLOBAL-batch reduction semantics
+        assert abs(m1["loss"] - m8["loss"]) < 1e-5
+        tr1.epoch += 1
+        tr8.epoch += 1
 
-    v1, _ = tr1.eval_one_epoch("valid", ds1["validation"], denoise=False)
-    v8, _ = tr8.eval_one_epoch("valid", ds8["validation"], denoise=False)
+    # final params leaf for leaf
+    p1 = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(tr1.params)))
+    p8 = jax.tree_util.tree_leaves_with_path(jax.device_get(tr8.params))
+    assert len(p1) == len(p8)
+    n_viol = n_tot = 0
+    for path, leaf in p8:
+        diff = np.abs(np.asarray(leaf) - np.asarray(p1[path]))
+        assert diff.max() < 5e-3, f"param drift at {path}: {diff.max():.2e}"
+        n_viol += int((diff > 1e-4).sum())
+        n_tot += diff.size
+    assert n_viol <= max(1, n_tot // 1000), f"{n_viol}/{n_tot} params beyond 1e-4"
+
+    # eval metrics + dumped latents (what p2-p4 actually consume)
+    v1, d1 = tr1.eval_one_epoch(
+        "valid", ds1["validation"], denoise=False, dump_keys=("hidden",)
+    )
+    v8, d8 = tr8.eval_one_epoch(
+        "valid", ds8["validation"], denoise=False, dump_keys=("hidden",)
+    )
     assert abs(v1["ae_mse"] - v8["ae_mse"]) < 5e-4
+    h1 = np.concatenate(d1["hidden"])
+    h8 = np.concatenate(d8["hidden"])
+    assert np.abs(h1 - h8).max() < 1e-4
 
 
 def test_lr_schedules():
