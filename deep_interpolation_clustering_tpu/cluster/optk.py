@@ -164,8 +164,13 @@ class KSelection:
             w.writerows(rows)
         if plot:
             def draw(plt):
+                # gap curve with the Tibshirani reference-spread error bars
                 plt.figure(figsize=(9, 6))
-                plt.plot(ks, [r["gap"] for r in rows], marker="o")
+                plt.errorbar(
+                    ks, [r["gap"] for r in rows],
+                    yerr=[r["ref_s"] for r in rows],
+                    marker="o", capsize=4,
+                )
                 plt.xlabel("Number of clusters K")
                 plt.ylabel("gap")
                 plt.savefig(os.path.join(self.out_path, f"gap_statistic-1_v{version}.png"))
@@ -178,6 +183,20 @@ class KSelection:
                 plt.ylabel("log(inertia)")
                 plt.savefig(os.path.join(self.out_path, f"gap_statistic-2_v{version}.png"))
                 plt.close()
+                # per-K internal validity metrics, one panel per metric
+                if names:
+                    fig, axes = plt.subplots(
+                        1, len(names), figsize=(6 * len(names), 5), squeeze=False
+                    )
+                    for ax, name in zip(axes[0], names):
+                        ax.plot(ks, [r[name] for r in rows], marker="o")
+                        ax.set_xlabel("Number of clusters K")
+                        ax.set_ylabel(name)
+                    fig.tight_layout()
+                    fig.savefig(
+                        os.path.join(self.out_path, f"internal_metrics_v{version}.png")
+                    )
+                    plt.close(fig)
             _maybe_plot(draw)
         return {
             "rows": rows,

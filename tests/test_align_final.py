@@ -131,3 +131,13 @@ def test_kselection_elbow_and_gap(tmp_path, rng):
     assert gap["opt_k_argmax"] in ks
     # internal metrics present
     assert "Sihouette" in gap["rows"][0]
+
+    # figure surface (reference p2:276-332): gap error-bar plot, gap/ref/act
+    # overlay, and the per-K internal-metric panels
+    gap = sel.gap_statistic(d["hidden"], version=1, plot=True)
+    for png in (
+        "gap_statistic-1_v1.png",
+        "gap_statistic-2_v1.png",
+        "internal_metrics_v1.png",
+    ):
+        assert os.path.exists(os.path.join(sel.out_path, png)), png
