@@ -40,9 +40,14 @@ def make_batch(rng, b):
     return ob, mask, ts, ae, fv, fvm
 
 
-def bench_ours() -> float:
+def bench_ours(clustering: bool = False):
     """The trainer's production path: HBM-resident cohort, fused lax.scan
-    epoch (one dispatch), data-parallel over all available chips."""
+    epoch (one dispatch), data-parallel over all available chips.
+    `clustering=True` benches the DEC (p3) step — KL + cluster head on top
+    of the pretrain losses (reference clustering_trainer.py:228-272).
+
+    Returns (encounters_per_sec, cost) where cost carries the XLA
+    cost-analysis FLOPs/bytes per step for the roofline summary."""
     import jax
     import jax.numpy as jnp
 
@@ -53,11 +58,13 @@ def bench_ours() -> float:
     from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
 
     cfg = Config(batch_size=BATCH, num_timestamps=T)
+    if clustering:
+        cfg = cfg.replace(loss="ae_mse_sup_fake_detect_kl")
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 and BATCH % n_dev == 0 else None
 
     key = jax.random.PRNGKey(0)
-    params, state = init_net(key, cfg)
+    params, state = init_net(key, cfg, clustering=clustering)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     if mesh is not None:
@@ -103,7 +110,28 @@ def bench_ours() -> float:
     t_short = run(4, 100)
     t_long = run(12, 200)
     per_epoch = (t_long - t_short) / 8
-    return n_cohort / per_epoch
+
+    # XLA's own cost model for the compiled epoch: FLOPs + HBM traffic,
+    # for the roofline summary (per STEP, not per epoch)
+    cost = {}
+    try:
+        ca = (
+            epoch_fn.lower(params, state, opt_state, data, idx_mat,
+                           jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        cost = {
+            "flops_per_step": ca.get("flops", 0.0) / STEPS,
+            "bytes_per_step": ca.get("bytes accessed", 0.0) / STEPS,
+        }
+    except Exception as e:  # cost analysis is best-effort
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+
+    cost["sec_per_step"] = per_epoch / STEPS
+    return n_cohort / per_epoch, cost
 
 
 def bench_reference() -> float:
@@ -153,7 +181,9 @@ def bench_reference() -> float:
         opt.step()
 
     one_step()  # warmup
-    n = 3
+    # >=20 timed steps: the 3-step timing wobbled 2.3x run-to-run on a
+    # loaded host; 20 steps brings the spread under ~10%
+    n = 20
     t0 = time.perf_counter()
     for _ in range(n):
         one_step()
@@ -161,20 +191,50 @@ def bench_reference() -> float:
     return BATCH * n / dt
 
 
+# v5e (TPU v5 lite) single-chip peaks for the roofline ratios
+V5E_PEAK_F32_FLOPS = 4.92e13  # MXU fp32 ~= bf16/4
+V5E_PEAK_HBM_BPS = 8.19e11  # 819 GB/s
+
+
+def _roofline(cost: dict) -> dict:
+    """Roofline placement from XLA's cost model: achieved FLOP/s and HBM
+    bandwidth vs chip peaks, plus arithmetic intensity. The model is
+    bandwidth/latency-bound (broadcast-reduce chains over the (B,C,T,R)
+    grid, R=6-step LSTMs), so MFU is structurally tiny — the honest
+    utilization number is the bandwidth one."""
+    out = {}
+    sec = cost.get("sec_per_step")
+    flops = cost.get("flops_per_step")
+    byts = cost.get("bytes_per_step")
+    if not sec or not flops:
+        return out
+    out["flops_per_step"] = round(flops)
+    out["mfu_pct"] = round(100.0 * flops / sec / V5E_PEAK_F32_FLOPS, 3)
+    if byts:
+        out["arith_intensity_flops_per_byte"] = round(flops / byts, 2)
+        out["hbm_bw_util_pct"] = round(100.0 * byts / sec / V5E_PEAK_HBM_BPS, 1)
+    return out
+
+
 def main():
-    ours = bench_ours()
+    ours, cost = bench_ours()
+    dec, dec_cost = bench_ours(clustering=True)
     try:
         ref = bench_reference()
         vs = ours / ref
     except Exception as e:
         print(f"reference baseline unavailable: {e}", file=sys.stderr)
         vs = None
-    print(json.dumps({
+    rec = {
         "metric": "pretrain_throughput",
         "value": round(ours, 1),
         "unit": "encounters/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "dec_throughput": round(dec, 1),
+        "pretrain_roofline": _roofline(cost),
+        "dec_roofline": _roofline(dec_cost),
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
