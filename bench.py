@@ -10,7 +10,13 @@ reference's forward+backward+step on the host CPU for the
 
 Prints ONE JSON line:
   {"metric": "pretrain_throughput", "value": N, "unit": "encounters/sec",
-   "vs_baseline": R}
+   "vs_baseline": R, "dec_throughput": N, "pretrain_roofline": {...},
+   "dec_roofline": {...}}
+where dec_throughput is the p3 DEC step (KL + cluster head) and the
+roofline dicts report XLA-cost-model FLOPs/step, MFU, arithmetic
+intensity, and HBM bandwidth utilization vs v5e single-chip peaks.
+dec_* fields are None if the DEC path fails — the headline line must
+still be emitted.
 """
 
 from __future__ import annotations
@@ -218,7 +224,11 @@ def _roofline(cost: dict) -> dict:
 
 def main():
     ours, cost = bench_ours()
-    dec, dec_cost = bench_ours(clustering=True)
+    try:
+        dec, dec_cost = bench_ours(clustering=True)
+    except Exception as e:  # never let the DEC bench kill the headline line
+        print(f"DEC bench unavailable: {e}", file=sys.stderr)
+        dec, dec_cost = None, {}
     try:
         ref = bench_reference()
         vs = ours / ref
@@ -230,7 +240,7 @@ def main():
         "value": round(ours, 1),
         "unit": "encounters/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-        "dec_throughput": round(dec, 1),
+        "dec_throughput": round(dec, 1) if dec is not None else None,
         "pretrain_roofline": _roofline(cost),
         "dec_roofline": _roofline(dec_cost),
     }

@@ -25,6 +25,16 @@ by float32 inertia. This module mirrors that machinery in NumPy:
 Matching a pinned third-party RNG path is inherently host/NumPy work — it
 is a migration-validation tool, not a hot path. For everything
 performance-critical use `kmeans.kmeans_fit`.
+
+Bit-parity regime: exact label agreement is guaranteed only when sklearn
+itself runs SINGLE-THREADED (`OMP_NUM_THREADS=1` / `threadpoolctl`).
+sklearn's `lloyd_iter_chunked_dense` accumulates center sums in
+per-thread partial buffers reduced in thread order; with >1 thread the
+float32 summation order differs from this module's global-order
+`np.add.at`, low-order center bits drift, and a Voronoi-boundary point
+can legitimately flip. Verified bit-exact up to 115 Lloyd iterations at
+N=3000-4000 single-threaded; multi-threaded runs should be compared with
+a small tolerance (or via `align.py` + label agreement rate) instead.
 """
 
 from __future__ import annotations
