@@ -1,0 +1,163 @@
+"""Fused exact-k random-subset selection (the fake-sample mask).
+
+The adversarial fake-sample generator must replace an exact uniformly-drawn
+k-subset of each channel's valid observations (reference
+dataloader.py:182-193 does it per-channel with `np.random.choice`). The
+vectorized form selects the k smallest of per-slot random scores, which
+profiling showed costs a full `(B, C, T)` sort inside every train step —
+the single most expensive op of the fused epoch (~18% of the step at the
+p1 production shape).
+
+This module computes the same selection without sorting:
+
+  * Each slot gets a 30-bit integer key: 21+ random high bits with the
+    slot POSITION packed into the low bits — keys are unique within a row,
+    so "the k smallest keys" needs no tie handling, and breaking random
+    ties by position order is distribution-identical to the previous
+    cumulative tie-fill (conditioned on the score multiset, positions are
+    exchangeable, so any fixed rule picks a uniform k-subset).
+  * The k-th smallest key per row comes from a 15-pass 2-bits-per-pass MSD
+    radix select (each pass narrows the known prefix of the answer by
+    counting keys under three bounds). In plain XLA that would re-read the
+    key array from HBM 45 times; the Pallas kernel keeps the whole row
+    tile resident in VMEM and does ONE HBM read + one mask write.
+  * All arithmetic is int32 compares/shifts — bit-exact on every backend —
+    so the XLA fallback (sort-based, used off-TPU where sorts are cheap
+    and Mosaic isn't available) produces the IDENTICAL mask and the kernel
+    can be the default path without touching the 1e-5 parity story
+    (`tests/test_data.py::test_fake_select_pallas_matches_xla`).
+
+Reference semantics preserved: exactly `max(1, floor(0.5 * n_valid))`
+slots per (encounter, channel), uniformly without replacement, among the
+front-packed valid slots; rows with zero valid observations select none
+(data/loader.py contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_ROW_TILE = 256
+_KEY_BITS = 30  # keys live in [0, 2^30): int32-safe under the +3<<shift bound
+_INVALID = 0x7FFFFFFF  # int32 max: sorts after every valid key
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pos_bits(t: int) -> int:
+    """Low bits reserved for the slot position (unique within a row)."""
+    return max(1, (t - 1).bit_length())
+
+
+def _combined_keys(bits: Array, n_valid: Array, t: int) -> Array:
+    """(rows, T) int32 keys: random high bits | position, _INVALID outside
+    the first n_valid slots. `bits` is uint32, `n_valid` is (rows, 1)."""
+    p = _pos_bits(t)
+    pos = jax.lax.broadcasted_iota(jnp.int32, bits.shape, bits.ndim - 1)
+    low_mask = jnp.int32((1 << p) - 1)
+    rand = jax.lax.shift_right_logical(bits, jnp.uint32(32 - _KEY_BITS)).astype(
+        jnp.int32
+    )  # < 2^_KEY_BITS: int32-positive, and prefix+3<<shift+low stays < 2^31
+    combined = (rand & ~low_mask) | pos
+    return jnp.where(pos < n_valid, combined, _INVALID)
+
+
+def _radix_kth(combined: Array, k: Array) -> Array:
+    """Smallest v in [0, 2^30) with count(combined <= v) >= k, per row —
+    the k-th smallest key for k >= 1 (all-k=0 rows return 0). One bit per
+    pass, exact by construction: after pass i the top i+1 bits of the
+    answer are fixed. One count-reduction per bit is the reduction-minimal
+    schedule (a 2-bit pass needs three bounds = 1.5 reductions/bit)."""
+    def body(_, carry):
+        prefix, bit = carry
+        bound = prefix + (bit - 1)
+        c0 = jnp.sum((combined <= bound).astype(jnp.int32), axis=-1, keepdims=True)
+        # fori_loop (not an unrolled Python loop, which multiplies Mosaic
+        # compile time by the pass count) with a halving bit carry so every
+        # shift is by a constant
+        return jnp.where(c0 >= k, prefix, prefix + bit), bit >> 1
+
+    prefix = jnp.zeros_like(k)
+    bit = jnp.full_like(k, jnp.int32(1 << (_KEY_BITS - 1)))
+    prefix, _ = jax.lax.fori_loop(0, _KEY_BITS, body, (prefix, bit))
+    return prefix
+
+
+def _select_kernel(bits_ref, nv_ref, k_ref, out_ref, *, t_len):
+    """One row tile: bits (TILE, T_pad) uint32, nv/k (TILE, 1) int32;
+    out (TILE, T_pad) float32 — 1.0 on the selected slots."""
+    combined = _combined_keys(bits_ref[:], nv_ref[:], t_len)
+    k = k_ref[:]
+    kth = _radix_kth(combined, k)
+    sel = (combined <= kth) & (k > 0)
+    out_ref[:] = sel.astype(jnp.float32)
+
+
+def _select_pallas(bits: Array, n_valid: Array, k: Array) -> Array:
+    rows, t_len = bits.shape
+    rows_pad = _round_up(rows, _ROW_TILE)
+    t_pad = _round_up(t_len, 128)
+    bits_p = jnp.pad(bits, ((0, rows_pad - rows), (0, t_pad - t_len)))
+    nv_p = jnp.pad(n_valid, ((0, rows_pad - rows), (0, 0)))
+    k_p = jnp.pad(k, ((0, rows_pad - rows), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_select_kernel, t_len=t_len),
+        grid=(rows_pad // _ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROW_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, t_pad), jnp.float32),
+    )(bits_p, nv_p, k_p)
+    return out[:rows, :t_len] > 0
+
+
+def _select_xla(bits: Array, n_valid: Array, k: Array) -> Array:
+    """Sort-based fallback — same mask bit-for-bit (keys are unique, so
+    both paths threshold at the same k-th smallest key)."""
+    t_len = bits.shape[-1]
+    combined = _combined_keys(bits, n_valid, t_len)
+    kth = jnp.take_along_axis(
+        jnp.sort(combined, axis=-1), jnp.maximum(k - 1, 0), axis=-1
+    )
+    return (combined <= kth) & (k > 0)
+
+
+def fake_select_mask(bits: Array, n_valid: Array, k: Array) -> Array:
+    """Exact-k uniform selection mask over front-packed valid slots.
+
+    `bits`: (B, C, T) uint32 random bits; `n_valid`, `k`: (B, C) int32 with
+    0 <= k <= n_valid. Returns (B, C, T) bool with exactly k True per row,
+    uniformly distributed over the first n_valid slots. Fused Pallas radix
+    select on TPU, sort-based XLA elsewhere — identical output either way.
+    """
+    b, c, t = bits.shape
+    bits2 = bits.reshape(b * c, t)
+    nv2 = n_valid.reshape(b * c, 1)
+    k2 = k.reshape(b * c, 1)
+    # Pallas only on a single-device TPU: under a multi-chip mesh the jitted
+    # step is auto-partitioned and XLA's SPMD partitioner would replicate an
+    # unannotated Mosaic custom call (correct but a cross-chip all-gather);
+    # the sort path partitions row-wise for free. If multi-chip throughput
+    # ever needs the kernel, wrap _select_pallas in
+    # jax.experimental.custom_partitioning with rows sharded on the batch
+    # axis — rows are fully independent.
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        sel = _select_pallas(bits2, nv2, k2)
+    else:
+        sel = _select_xla(bits2, nv2, k2)
+    return sel.reshape(b, c, t)

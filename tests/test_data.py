@@ -178,9 +178,10 @@ def test_extract_abnormal_vitals(rng):
 
 
 def test_make_fake_ob_exact_k_under_ties(rng):
-    """float32 uniforms can tie at the k-th order statistic; the cumulative
-    tie-break must still draw EXACTLY max(1, floor(0.5*n_valid)) slots.
-    Forced here by quantizing the scores to 4 levels (massive ties)."""
+    """Random key bits can collide; the position bits packed into the
+    selection keys must still yield EXACTLY max(1, floor(0.5*n_valid))
+    slots. Forced here with ALL-EQUAL random bits (total collision) —
+    position order then selects the first k valid slots."""
     from unittest import mock
 
     B, C, T = 16, 6, 40
@@ -191,15 +192,54 @@ def test_make_fake_ob_exact_k_under_ties(rng):
             mask[i, j, : counts[i, j]] = 1.0
     ob = rng.randn(B, C, T).astype(np.float32) * mask
 
-    orig_uniform = jax.random.uniform
+    def constant_bits(key, shape, dtype=jnp.uint32):
+        return jnp.full(shape, 0xDEADBEEF, dtype)
 
-    def quantized(key, shape, *a, **k):
-        return jnp.floor(orig_uniform(key, shape, *a, **k) * 4) / 4
-
-    with mock.patch.object(jax.random, "uniform", quantized):
+    with mock.patch.object(jax.random, "bits", constant_bits):
         fake = np.asarray(
             make_fake_ob(jnp.asarray(ob), jnp.asarray(mask), jax.random.PRNGKey(3), 5.0)
         )
-    changed = (fake != ob).sum(axis=2)
+    changed = fake != ob
     want = np.maximum(1, (0.5 * counts).astype(int))
-    np.testing.assert_array_equal(changed, want)
+    np.testing.assert_array_equal(changed.sum(axis=2), want)
+    # with fully tied random bits the selection is the first k valid slots
+    for i in range(B):
+        for j in range(C):
+            assert changed[i, j, : want[i, j]].all()
+
+
+def test_fake_select_pallas_matches_xla(rng):
+    """The TPU radix-select kernel and the sort-based XLA fallback must
+    produce the IDENTICAL mask (pure int32 arithmetic, unique keys) — this
+    is what lets the kernel be the default without a parity flag. The
+    Pallas side runs in interpreter mode off-TPU."""
+    from deep_interpolation_clustering_tpu.ops import pallas_select as ps
+
+    B, C, T = 4, 6, 37
+    counts = rng.randint(0, T + 1, size=(B, C)).astype(np.int32)
+    k = np.where(counts > 0, np.maximum(1, counts // 2), 0).astype(np.int32)
+    bits = rng.randint(0, 2**32, size=(B, C, T), dtype=np.uint64).astype(np.uint32)
+
+    rows = B * C
+    sel_xla = ps._select_xla(
+        jnp.asarray(bits).reshape(rows, T),
+        jnp.asarray(counts).reshape(rows, 1),
+        jnp.asarray(k).reshape(rows, 1),
+    )
+    import functools
+    from unittest import mock
+
+    with mock.patch.object(
+        ps.pl, "pallas_call", functools.partial(ps.pl.pallas_call, interpret=True)
+    ):
+        sel_pl = ps._select_pallas(
+            jnp.asarray(bits).reshape(rows, T),
+            jnp.asarray(counts).reshape(rows, 1),
+            jnp.asarray(k).reshape(rows, 1),
+        )
+    np.testing.assert_array_equal(np.asarray(sel_xla), np.asarray(sel_pl))
+    # exact-k, and only within the valid prefix
+    sel = np.asarray(sel_xla).reshape(B, C, T)
+    np.testing.assert_array_equal(sel.sum(axis=2), k)
+    pos = np.arange(T)
+    assert (sel <= (pos < counts[..., None])).all()
