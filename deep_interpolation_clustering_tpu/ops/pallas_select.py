@@ -40,6 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
@@ -137,27 +138,63 @@ def _select_xla(bits: Array, n_valid: Array, k: Array) -> Array:
     return (combined <= kth) & (k > 0)
 
 
+def _select_local(bits: Array, n_valid: Array, k: Array) -> Array:
+    """Backend-routed local (per-shard) computation."""
+    if jax.default_backend() == "tpu":
+        return _select_pallas(bits, n_valid, k)
+    return _select_xla(bits, n_valid, k)
+
+
+def _row_sharding(mesh, arg_infos):
+    """Rows follow the bits operand's leading-axis sharding, T replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = getattr(arg_infos[0], "sharding", None)
+    spec = s.spec if s is not None and s.spec is not None else P()
+    row = spec[0] if len(spec) > 0 else None
+    return NamedSharding(mesh, P(row, None))
+
+
+def _infer_sharding(mesh, arg_infos, result_infos):
+    return _row_sharding(mesh, arg_infos)
+
+
+def _partition(mesh, arg_infos, result_infos):
+    sharding = _row_sharding(mesh, arg_infos)
+    return mesh, _select_local, sharding, (sharding,) * 3
+
+
+# Rows are fully independent, so under a multi-chip mesh the selection
+# partitions on the row axis (which carries the batch sharding after the
+# (B,C,T)->(B*C,T) reshape). Without this annotation XLA's SPMD partitioner
+# would replicate the Mosaic custom call — a cross-chip all-gather of the
+# whole bits plane per step. The sharding_rule string serves the Shardy
+# partitioner; the callbacks serve classic GSPMD.
+_select_partitioned = custom_partitioning(_select_local)
+_select_partitioned.def_partition(
+    partition=_partition,
+    infer_sharding_from_operands=_infer_sharding,
+    sharding_rule="i j, i k, i l -> i j",
+)
+
+
 def fake_select_mask(bits: Array, n_valid: Array, k: Array) -> Array:
     """Exact-k uniform selection mask over front-packed valid slots.
 
     `bits`: (B, C, T) uint32 random bits; `n_valid`, `k`: (B, C) int32 with
     0 <= k <= n_valid. Returns (B, C, T) bool with exactly k True per row,
     uniformly distributed over the first n_valid slots. Fused Pallas radix
-    select on TPU, sort-based XLA elsewhere — identical output either way.
+    select on TPU (row-partitioned across a mesh via custom_partitioning),
+    sort-based XLA elsewhere — identical output either way.
     """
     b, c, t = bits.shape
     bits2 = bits.reshape(b * c, t)
     nv2 = n_valid.reshape(b * c, 1)
     k2 = k.reshape(b * c, 1)
-    # Pallas only on a single-device TPU: under a multi-chip mesh the jitted
-    # step is auto-partitioned and XLA's SPMD partitioner would replicate an
-    # unannotated Mosaic custom call (correct but a cross-chip all-gather);
-    # the sort path partitions row-wise for free. If multi-chip throughput
-    # ever needs the kernel, wrap _select_pallas in
-    # jax.experimental.custom_partitioning with rows sharded on the batch
-    # axis — rows are fully independent.
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
-        sel = _select_pallas(bits2, nv2, k2)
+    if jax.default_backend() == "tpu":
+        sel = _select_partitioned(bits2, nv2, k2)
     else:
+        # off-TPU the local fn is already plain partitionable XLA; skip the
+        # custom-call indirection on the test/dryrun path
         sel = _select_xla(bits2, nv2, k2)
     return sel.reshape(b, c, t)

@@ -243,3 +243,31 @@ def test_fake_select_pallas_matches_xla(rng):
     np.testing.assert_array_equal(sel.sum(axis=2), k)
     pos = np.arange(T)
     assert (sel <= (pos < counts[..., None])).all()
+
+
+def test_fake_select_partitioned_on_mesh(rng):
+    """The custom_partitioning wrapper (used on TPU so the Mosaic kernel
+    shards row-wise instead of being replicated by SPMD) must match the
+    unsharded result when its rows are sharded across the 8-device mesh.
+    On CPU the local function is the XLA fallback, so this exercises the
+    partition/infer callbacks with the same machinery a TPU mesh uses."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deep_interpolation_clustering_tpu.ops import pallas_select as ps
+    from deep_interpolation_clustering_tpu.parallel import make_mesh
+
+    rows, T = 64, 37  # rows divisible by the 8-device mesh
+    counts = rng.randint(0, T + 1, size=(rows, 1)).astype(np.int32)
+    k = np.where(counts > 0, np.maximum(1, counts // 2), 0).astype(np.int32)
+    bits = rng.randint(0, 2**32, size=(rows, T), dtype=np.uint64).astype(np.uint32)
+
+    want = np.asarray(ps._select_xla(jnp.asarray(bits), jnp.asarray(counts), jnp.asarray(k)))
+
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P("data", None))
+    args = [
+        jax.device_put(jnp.asarray(v), shard) for v in (bits, counts, k)
+    ]
+    got = jax.jit(ps._select_partitioned)(*args)
+    np.testing.assert_array_equal(np.asarray(got), want)
