@@ -109,6 +109,59 @@ def test_final_labeler_dl_path(tmp_path, rng):
         np.testing.assert_array_equal(results["ae_mse"][cohort], truth[cohort])
 
 
+def test_final_labeler_dbscan_path(tmp_path, rng):
+    """Per-cohort DBSCAN fits; training aligned by SBP, valid/test by
+    nearest-train-center (reference p4:113-139, 181-239)."""
+    cfg = Config(cluster_method="dbscan", opt_eps=5.0)
+    exp = str(tmp_path)
+    feat_dir = os.path.join(exp, "out_feat", "ae_mse")
+    os.makedirs(feat_dir)
+    truth = {}
+    for cohort in COHORTS:
+        d, labels = _fake_dump(rng, 200, 3)
+        np.save(os.path.join(feat_dir, f"{cohort}.npy"), d)
+        truth[cohort] = labels
+    results = FinalLabeler(cfg, exp).pred(metrics=["ae_mse"])
+    for cohort in COHORTS:
+        got = results["ae_mse"][cohort]
+        # planted clusters are 40 apart in latent space at noise 0.5, so
+        # DBSCAN recovers the partition exactly (no noise points) and the
+        # SBP-descending alignment reverses the raw ids
+        np.testing.assert_array_equal(got, 2 - truth[cohort])
+        out_f = os.path.join(
+            exp, "out_feat", "ae_mse_dbscan_aligned", f"{cohort}_eps-5.0.npy"
+        )
+        assert os.path.exists(out_f)
+
+
+def test_final_labeler_consensus_path(tmp_path, rng):
+    """External 1-based consensus CSV labels re-mapped through the
+    training SBP align map (reference p4:241-287; train+valid only)."""
+    import pandas as pd
+
+    cfg = Config(cluster_method="consensus", num_clusters=3)
+    exp = str(tmp_path)
+    feat_dir = os.path.join(exp, "out_feat", "ae_mse")
+    cons_dir = os.path.join(exp, "out_feat", "raw_consensus_result")
+    os.makedirs(feat_dir)
+    os.makedirs(cons_dir)
+    truth = {}
+    for cohort in COHORTS:
+        d, labels = _fake_dump(rng, 150, 3)
+        np.save(os.path.join(feat_dir, f"{cohort}.npy"), d)
+        truth[cohort] = labels
+        if cohort in ("training", "validation"):
+            pd.DataFrame({"k3": labels + 1}).to_csv(
+                os.path.join(cons_dir, f"{cohort}_consensus.csv"), index=False
+            )
+    results = FinalLabeler(cfg, exp).pred(metrics=["ae_mse"])
+    assert set(results["ae_mse"].keys()) == {"training", "validation"}
+    for cohort in ("training", "validation"):
+        np.testing.assert_array_equal(
+            results["ae_mse"][cohort], 2 - truth[cohort]
+        )
+
+
 def test_kselection_elbow_and_gap(tmp_path, rng):
     cfg = Config(k_max=6, n_init=3, gap_b=3)
     d, _ = _fake_dump(rng, 200, 4)
