@@ -225,16 +225,21 @@ class DbscanExplorer:
     """k-distance graph + eps sweep (reference `Dbscan`, p2:90-168).
     Host-side sklearn; the eps knee uses our Kneedle."""
 
-    def __init__(self, cfg: Config, out_path: str, min_samples: int = 258):
+    def __init__(self, cfg: Config, out_path: str, min_samples: Optional[int] = None):
         self.cfg = cfg
+        # None -> derived per fit as feat_dim + 1, the reference's choice
+        # (p2_clustering_optK.py:84,87: min_samples=self.feat_dim+1)
         self.min_samples = min_samples
         self.out_path = os.path.join(out_path, "plot")
         os.makedirs(self.out_path, exist_ok=True)
 
+    def _min_samples(self, feat: np.ndarray) -> int:
+        return self.min_samples if self.min_samples else feat.shape[-1] + 1
+
     def k_distance_graph(self, feat: np.ndarray, plot: bool = True) -> Dict:
         from sklearn.neighbors import NearestNeighbors
 
-        k = self.min_samples - 1
+        k = self._min_samples(feat) - 1
         nn = NearestNeighbors(n_neighbors=k).fit(feat)
         dist, _ = nn.kneighbors(feat)
         kth = np.sort(dist[:, -1])
@@ -262,7 +267,7 @@ class DbscanExplorer:
             eps_values = np.arange(0.5, 5.0, 0.5)
         rows = []
         for eps in eps_values:
-            labels = DBSCAN(eps=eps, min_samples=self.min_samples).fit_predict(feat)
+            labels = DBSCAN(eps=eps, min_samples=self._min_samples(feat)).fit_predict(feat)
             n_clusters = len(set(labels)) - (1 if -1 in labels else 0)
             n_noise = int(np.sum(labels == -1))
             row = {"eps": float(eps), "n_clusters": n_clusters, "n_noise": n_noise}
@@ -281,11 +286,14 @@ class DbscanExplorer:
 class OpticsExplorer:
     """OPTICS reachability exploration (reference `Optics`, p2:171-223)."""
 
-    def __init__(self, cfg: Config, out_path: str, min_samples: int = 258):
+    def __init__(self, cfg: Config, out_path: str, min_samples: Optional[int] = None):
         self.cfg = cfg
-        self.min_samples = min_samples
+        self.min_samples = min_samples  # None -> feat_dim + 1 (reference p2:87)
         self.out_path = os.path.join(out_path, "plot")
         os.makedirs(self.out_path, exist_ok=True)
+
+    def _min_samples(self, feat: np.ndarray) -> int:
+        return self.min_samples if self.min_samples else feat.shape[-1] + 1
 
     def run(self, feat: np.ndarray, method: str = "xi", plot: bool = True) -> Dict:
         from sklearn.cluster import OPTICS
@@ -295,7 +303,7 @@ class OpticsExplorer:
             if method == "xi"
             else {"cluster_method": "dbscan", "eps": self.cfg.opt_eps}
         )
-        model = OPTICS(min_samples=self.min_samples, **kwargs).fit(feat)
+        model = OPTICS(min_samples=self._min_samples(feat), **kwargs).fit(feat)
         reach = model.reachability_[model.ordering_]
         if plot:
             def draw(plt):

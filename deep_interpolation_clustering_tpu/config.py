@@ -120,7 +120,8 @@ class Config:
     results_path: str = "Results"
 
     # ---- parallelism / kernels ------------------------------------------
-    # number of devices in the data axis of the mesh; 0 = all local devices
+    # number of devices in the data axis of the mesh; 0 = no mesh (single
+    # device), -1 = all local devices
     data_parallel: int = 0
     # route the SCI interpolation + RBF decode through the fused Pallas TPU
     # kernels (ops/pallas_interp.py); off-TPU they run interpreted (slow,

@@ -175,3 +175,21 @@ class LRSchedule:
         if self.lr < cfg.min_lr:
             self.lr = cfg.min_lr
         return self.lr
+
+    def state_dict(self) -> dict:
+        """Checkpointable schedule state. Without it a resumed 'step'/
+        'warmup' run recomputes the closed-form LR with num_steps restarted
+        at 0 (a jump back to init_lr after the first resumed epoch), and
+        'plateau' loses its best/bad-epoch counters."""
+        return {
+            "lr": self.lr,
+            "num_steps": self.num_steps,
+            "best": self._best,
+            "num_bad": self._num_bad,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.num_steps = int(d["num_steps"])
+        self._best = float(d["best"])
+        self._num_bad = int(d["num_bad"])

@@ -96,8 +96,9 @@ def build_inputs(
             out["fake_row_mask"] = row_mask[perm]
 
     if cfg.triple_margin != 0.0 and cfg.fake_detection:
-        pos_ob = (ob + jax.random.normal(k_pos_ob, ob.shape) * cfg.triple_pos_std) * padding_mask
-        pos_ts = (timestamp + jax.random.normal(k_pos_ts, timestamp.shape) * 0.01) * padding_mask
+        pos_ob, pos_ts = augment_batch(
+            ob, timestamp, padding_mask, k_pos_ob, cfg.triple_pos_std
+        )
         # the reference never denoises the positive branch
         # (pretrain_trainer.py:171-173) — parity requires the raw jittered ob
         out["positive_x"] = stack_input(pos_ob, padding_mask, pos_ts, ae_mask)

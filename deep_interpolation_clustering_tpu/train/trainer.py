@@ -47,8 +47,9 @@ class Trainer:
         self.cfg = cfg
         self.datasets = datasets
         self.exp_path = exp_path
+        # data_parallel: 0 = single device, -1 = all local devices, N = N
         self.mesh = mesh if mesh is not None else (
-            make_mesh(cfg.data_parallel) if cfg.data_parallel else None
+            make_mesh(max(cfg.data_parallel, 0)) if cfg.data_parallel else None
         )
         self.n_shards = self.mesh.devices.size if self.mesh is not None else 1
         if cfg.batch_size % self.n_shards:
@@ -197,6 +198,16 @@ class Trainer:
         # H2D batch transfer with the compute (the torch reference has the
         # same pipeline hazard via its .item() calls, :223).
         pending: list = []
+        if self.n_shards > 1 and len(ds) < cfg.batch_size:
+            # drop-last under a mesh would yield ZERO batches: the epoch
+            # would silently train nothing forever (the reference, with no
+            # drop_last, still trains the short batch) — fail loudly
+            raise ValueError(
+                f"cohort '{ds.cohort}' has {len(ds)} encounters, fewer than "
+                f"batch_size={cfg.batch_size}: with {self.n_shards} shards "
+                "every batch is dropped. Lower batch_size (it must divide "
+                "across shards) or train single-device."
+            )
         if cfg.device_data:
             data = self._cohort_device_data(ds)
             n = len(ds)
@@ -479,7 +490,11 @@ class Trainer:
                 path = os.path.join(self.weight_paths[m], ckpt.CKPT_NAME)
                 ckpt.save_checkpoint(
                     path, self.epoch, self.params, self.state, self.opt_state,
-                    extra={"lr": self.lr_schedule.lr, "metric": m},
+                    extra={
+                        "lr": self.lr_schedule.lr,
+                        "metric": m,
+                        "lr_schedule": self.lr_schedule.state_dict(),
+                    },
                 )
                 logger.info("saving for %s", m)
         self.summary.add_summary(self.epoch, scope=scope, **metric_dict)
@@ -508,8 +523,15 @@ class Trainer:
             self.params = replicate_tree(self.mesh, self.params)
             self.state = replicate_tree(self.mesh, self.state)
             self.opt_state = replicate_tree(self.mesh, self.opt_state)
-        if "lr" in meta:
+        if "lr_schedule" in meta:
+            # full schedule state: step/warmup recompute the LR closed-form
+            # from num_steps, so restoring only the rate is not enough (the
+            # first resumed epoch would stomp it back to the epoch-0 value)
+            self.lr_schedule.load_state_dict(meta["lr_schedule"])
+            set_learning_rate(self.opt_state, self.lr_schedule.lr)
+        elif "lr" in meta:  # pre-schedule-state checkpoints
             self.lr_schedule.lr = meta["lr"]
+            self.lr_schedule.num_steps = epoch
             set_learning_rate(self.opt_state, meta["lr"])
         logger.info("=> restored checkpoint %s (epoch %d)", path, epoch)
 

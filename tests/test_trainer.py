@@ -96,6 +96,50 @@ def test_trainer_restore_continues(tmp_path, cohorts):
     assert np.isfinite(m["loss"])
 
 
+def test_data_parallel_all_devices(tmp_path, cohorts):
+    """data_parallel=-1 builds a mesh over every local device; 0 stays
+    single-device (no silent 1-chip training on multi-chip hardware when
+    the user asked for all of them)."""
+    cfg = tiny_cfg(data_parallel=-1)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    assert tr.n_shards == len(jax.devices())
+    cfg0 = tiny_cfg()
+    tr0 = Trainer(cfg0, make_datasets(cfg0, cohorts), str(tmp_path), use_tensorboard=False)
+    assert tr0.n_shards == 1
+
+
+def test_mesh_cohort_smaller_than_batch_raises(tmp_path, cohorts):
+    """Under a mesh, a cohort smaller than batch_size would silently train
+    zero batches per epoch (drop-last) — must fail loudly instead."""
+    cfg = tiny_cfg(batch_size=512, data_parallel=-1)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    with pytest.raises(ValueError, match="fewer than"):
+        tr.train_one_epoch(tr.datasets["training"], denoise=False)
+
+
+def test_restore_resumes_lr_schedule(tmp_path, cohorts):
+    """A resumed 'step'-mode run must CONTINUE the decayed LR trajectory.
+    The closed-form step decay recomputes from num_steps, so restoring
+    only the rate (the old behavior) jumped back to init_lr on the first
+    resumed epoch."""
+    cfg = tiny_cfg(max_epochs=4, lr_decay_step_or_patience=1, lr_decay_rate=0.5)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    tr.train()
+
+    cfg2 = tiny_cfg(
+        max_epochs=4, lr_decay_step_or_patience=1, lr_decay_rate=0.5,
+        restore=True, restore_metric="ae_mse",
+    )
+    tr2 = Trainer(cfg2, make_datasets(cfg2, cohorts), str(tmp_path), use_tensorboard=False)
+    tr2.load_weight()
+    e = tr2.epoch
+    assert tr2.lr_schedule.num_steps == e
+    assert tr2.lr_schedule.lr == pytest.approx(cfg.init_lr * 0.5**e)
+    # the next epoch's step continues the decay instead of restarting
+    nxt = tr2.lr_schedule.step(1.0)
+    assert nxt == pytest.approx(max(cfg.init_lr * 0.5 ** (e + 1), cfg.min_lr))
+
+
 def test_cluster_trainer_end_to_end(tmp_path, cohorts):
     pre_cfg = tiny_cfg(max_epochs=2)
     pre_path = str(tmp_path / "pretrain")
