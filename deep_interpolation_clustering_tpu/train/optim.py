@@ -77,6 +77,31 @@ def scale_by_torch_amsgrad(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _flat_params_wrapper(
+    inner: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Run `inner` on ONE raveled parameter vector instead of 37 leaves.
+
+    The update math is elementwise (plus a global grad norm, which is the
+    same sum of squares either way), so results are unchanged — but XLA
+    then emits a handful of fused ops over one contiguous 0.65M-float
+    array instead of per-leaf chains, cutting the optimizer's share of the
+    latency-bound train step (~41 us/step measured before flattening)."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(updates, state, params=None):
+        gflat, unravel = ravel_pytree(updates)
+        pflat = ravel_pytree(params)[0] if params is not None else None
+        uflat, state = inner.update(gflat, state, pflat)
+        return unravel(uflat), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     def build(learning_rate):
         txs = []
@@ -99,7 +124,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         else:
             raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
         txs.append(optax.scale_by_learning_rate(learning_rate))
-        return optax.chain(*txs)
+        return _flat_params_wrapper(optax.chain(*txs))
 
     return optax.inject_hyperparams(build)(learning_rate=cfg.init_lr)
 
