@@ -40,8 +40,11 @@ def main():
     )
     print(json.dumps({"metric": "p0_100k_seconds", "value": round(time.time() - t0, 1)}))
 
+    # B=4096 measured best at this scale (1024: ~127k, 4096: ~199k, 8192:
+    # ~184k enc/s): T=48 steps are per-op-overhead-bound, so fewer, larger
+    # steps win until HBM working-set pressure pushes back
     cfg = Config(
-        batch_size=1024, num_timestamps=MAX_OBS, max_epochs=3,
+        batch_size=4096, num_timestamps=MAX_OBS, max_epochs=3,
         log_train_freq=10_000, log_valid_freq=10_000, early_stopping=10_000,
     )
     datasets = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
