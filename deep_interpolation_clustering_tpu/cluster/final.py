@@ -27,22 +27,7 @@ from ..config import Config
 from ..info import COHORTS
 from ..utils import logger
 from .align import align_labels, align_labels_with_center, generate_align_map
-from .kmeans import KMeansResult, kmeans_fit, kmeans_predict
-
-
-def fit_kmeans_impl(
-    cfg: Config, seed: int, x: np.ndarray, k: int, n_init: int
-) -> KMeansResult:
-    """Dispatch on `cfg.kmeans_impl`: on-device jitted k-means (production)
-    or the host-side sklearn-exact mirror (migration validation — identical
-    labels to `sklearn.KMeans(n_init, random_state=seed)`)."""
-    if cfg.kmeans_impl == "sklearn":
-        from .sklearn_compat import kmeans_fit_sklearn
-
-        return kmeans_fit_sklearn(x, k, n_init=n_init, random_state=seed)
-    if cfg.kmeans_impl != "device":
-        raise ValueError(f"unknown kmeans_impl {cfg.kmeans_impl!r}")
-    return kmeans_fit(jax.random.PRNGKey(seed), x, k, n_init=n_init)
+from .kmeans import fit_kmeans_impl, kmeans_predict
 
 LOAD_KEYS = ("encounter_id", "hidden", "ob", "padding_mask")
 DL_KEYS = ("cluster_pred", "cluster_label")

@@ -161,3 +161,17 @@ def mean_min_distance(centers: Array, x: Array) -> Array:
     reference (p2_clustering_optK.py:260-265, scipy `cdist(...).min(1).mean()`)."""
     d = pairwise_sq_dist(jnp.asarray(x, jnp.float32), centers)
     return jnp.mean(jnp.sqrt(jnp.min(d, axis=1)))
+
+
+def fit_kmeans_impl(cfg, seed: int, x, k: int, n_init: int) -> KMeansResult:
+    """Dispatch on `cfg.kmeans_impl`: on-device jitted k-means (production)
+    or the host-side sklearn-exact mirror (migration validation — identical
+    labels to `sklearn.KMeans(n_init, random_state=seed)`). Shared by the
+    p4 final labeler and the p3 DEC center init."""
+    if cfg.kmeans_impl == "sklearn":
+        from .sklearn_compat import kmeans_fit_sklearn
+
+        return kmeans_fit_sklearn(x, k, n_init=n_init, random_state=seed)
+    if cfg.kmeans_impl != "device":
+        raise ValueError(f"unknown kmeans_impl {cfg.kmeans_impl!r}")
+    return kmeans_fit(jax.random.PRNGKey(seed), x, k, n_init=n_init)

@@ -221,20 +221,24 @@ class KSelection:
 
 
 # --------------------------------------------------- density explorers
+def _derive_min_samples(explicit: Optional[int], feat: np.ndarray) -> int:
+    """None -> feat_dim + 1, the reference's choice for both density
+    explorers (p2_clustering_optK.py:84,87: min_samples=self.feat_dim+1)."""
+    return explicit if explicit else feat.shape[-1] + 1
+
+
 class DbscanExplorer:
     """k-distance graph + eps sweep (reference `Dbscan`, p2:90-168).
     Host-side sklearn; the eps knee uses our Kneedle."""
 
     def __init__(self, cfg: Config, out_path: str, min_samples: Optional[int] = None):
         self.cfg = cfg
-        # None -> derived per fit as feat_dim + 1, the reference's choice
-        # (p2_clustering_optK.py:84,87: min_samples=self.feat_dim+1)
-        self.min_samples = min_samples
+        self.min_samples = min_samples  # None -> feat_dim + 1 per fit
         self.out_path = os.path.join(out_path, "plot")
         os.makedirs(self.out_path, exist_ok=True)
 
     def _min_samples(self, feat: np.ndarray) -> int:
-        return self.min_samples if self.min_samples else feat.shape[-1] + 1
+        return _derive_min_samples(self.min_samples, feat)
 
     def k_distance_graph(self, feat: np.ndarray, plot: bool = True) -> Dict:
         from sklearn.neighbors import NearestNeighbors
@@ -288,12 +292,12 @@ class OpticsExplorer:
 
     def __init__(self, cfg: Config, out_path: str, min_samples: Optional[int] = None):
         self.cfg = cfg
-        self.min_samples = min_samples  # None -> feat_dim + 1 (reference p2:87)
+        self.min_samples = min_samples  # None -> feat_dim + 1 per fit
         self.out_path = os.path.join(out_path, "plot")
         os.makedirs(self.out_path, exist_ok=True)
 
     def _min_samples(self, feat: np.ndarray) -> int:
-        return self.min_samples if self.min_samples else feat.shape[-1] + 1
+        return _derive_min_samples(self.min_samples, feat)
 
     def run(self, feat: np.ndarray, method: str = "xi", plot: bool = True) -> Dict:
         from sklearn.cluster import OPTICS

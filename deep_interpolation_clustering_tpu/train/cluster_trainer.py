@@ -95,7 +95,7 @@ class ClusterTrainer(Trainer):
         train_feat = self.generate_pretrain_feat("training")
         hidden = train_feat["hidden"]
         if mode == "kmeans":
-            from ..cluster.final import fit_kmeans_impl
+            from ..cluster.kmeans import fit_kmeans_impl
 
             result = fit_kmeans_impl(
                 cfg, cfg.seed, hidden, cfg.cluster_number, n_init=cfg.kmeans_n_init

@@ -43,7 +43,10 @@ def build_inputs(
     and its labels permuted, and the optional triplet positive is a
     Gaussian-jittered copy.
     """
-    k_aug, k_fake, k_fake_aug, k_perm, k_pos_ob, k_pos_ts = jax.random.split(key, 6)
+    # the 6-way split predates augment_batch handling the positive pair's
+    # two sub-keys itself; the last key is unused but kept so every other
+    # stream (and the fused-vs-stepped bit-identity goldens) is unchanged
+    k_aug, k_fake, k_fake_aug, k_perm, k_pos, _ = jax.random.split(key, 6)
     ob_raw = batch["ob"]
     padding_mask = batch["padding_mask"]
     ts_raw = batch["timestamp"]
@@ -97,7 +100,7 @@ def build_inputs(
 
     if cfg.triple_margin != 0.0 and cfg.fake_detection:
         pos_ob, pos_ts = augment_batch(
-            ob, timestamp, padding_mask, k_pos_ob, cfg.triple_pos_std
+            ob, timestamp, padding_mask, k_pos, cfg.triple_pos_std
         )
         # the reference never denoises the positive branch
         # (pretrain_trainer.py:171-173) — parity requires the raw jittered ob
