@@ -113,9 +113,12 @@ def bench_ours(clustering: bool = False):
         return time.perf_counter() - t0
 
     run(WARMUP, 0)  # compile + warm
+    # 16-epoch slope interval: at ~17 ms/epoch the measured span is ~270 ms,
+    # large against the tunnel's ms-scale sync jitter (was 8 epochs, which
+    # left +-9% run-to-run spread)
     t_short = run(4, 100)
-    t_long = run(12, 200)
-    per_epoch = (t_long - t_short) / 8
+    t_long = run(20, 200)
+    per_epoch = (t_long - t_short) / 16
 
     # XLA's own cost model for the compiled epoch: FLOPs + HBM traffic,
     # for the roofline summary (per STEP, not per epoch)
