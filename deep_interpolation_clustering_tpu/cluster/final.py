@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional
 
-import jax
 import numpy as np
 
 from ..config import Config

@@ -104,10 +104,15 @@ def load_checkpoint(
         treedef = jax.tree_util.tree_structure(opt_state_template)
         template_leaves = jax.tree_util.tree_leaves(opt_state_template)
         if len(leaves) != len(template_leaves):
-            raise ValueError(
-                f"optimizer state mismatch: checkpoint has {len(leaves)} leaves, "
-                f"template has {len(template_leaves)}"
+            # layout mismatch (e.g. a checkpoint from before the optimizer
+            # state went flat-vector): params/state still restore; the
+            # optimizer restarts fresh rather than crashing the resume
+            logger.warning(
+                "optimizer state layout mismatch (checkpoint %d leaves, "
+                "template %d) — restoring params only, optimizer state "
+                "restarts fresh", len(leaves), len(template_leaves),
             )
+            return meta["epoch"], params, state, None, meta
         leaves = [
             np.asarray(l, dtype=np.asarray(t).dtype).reshape(np.asarray(t).shape)
             for l, t in zip(leaves, template_leaves)

@@ -96,6 +96,24 @@ def test_trainer_restore_continues(tmp_path, cohorts):
     assert np.isfinite(m["loss"])
 
 
+def test_checkpoint_opt_layout_mismatch_degrades(tmp_path):
+    """A checkpoint whose optimizer-state layout doesn't match the current
+    template (e.g. one written before the flat-vector optimizer) must
+    restore params and warn, not crash the resume."""
+    from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
+
+    params = {"w": np.ones((3, 2), np.float32)}
+    state = {"bn": np.zeros((2,), np.float32)}
+    old_opt = [np.zeros((3, 2), np.float32)] * 4  # old per-leaf layout
+    path = str(tmp_path / "checkpoint.npz")
+    ckpt.save_checkpoint(path, 7, params, state, old_opt)
+
+    template = [np.zeros((6,), np.float32)]  # new flat layout: 1 leaf
+    epoch, p, s, opt, meta = ckpt.load_checkpoint(path, opt_state_template=template)
+    assert epoch == 7 and opt is None
+    np.testing.assert_array_equal(p["w"], params["w"])
+
+
 def test_data_parallel_all_devices(tmp_path, cohorts):
     """data_parallel=-1 builds a mesh over every local device; 0 stays
     single-device (no silent 1-chip training on multi-chip hardware when
