@@ -90,7 +90,9 @@ def main():
     gap = sel.gap_statistic(hidden, version=1, plot=False)
     print(json.dumps({
         "metric": "gap_statistic_seconds_100k_k2-8", "value": round(time.time() - t0, 1),
-        "opt_k": gap["opt_k"],
+        # Tibshirani rule may not fire on under-trained latents; the argmax
+        # fallback still reports a usable K
+        "opt_k": gap["opt_k"] if gap["opt_k"] is not None else gap["opt_k_argmax"],
     }))
 
 
