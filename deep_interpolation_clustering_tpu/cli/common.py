@@ -104,8 +104,28 @@ def make_datasets(cfg: Config) -> Dict[str, ArrayDataset]:
 
 def init_run(cfg: Config, stage: str) -> str:
     set_seed(cfg.seed)
+    enable_compilation_cache(cfg)
     exp_path = os.path.join(cfg.results_path, stage)
     os.makedirs(exp_path, exist_ok=True)
     cfg.save(exp_path)
     logger.info("run dir: %s", exp_path)
     return exp_path
+
+
+def enable_compilation_cache(cfg: Config) -> None:
+    """Point XLA's persistent compilation cache at `cfg.compilation_cache_dir`
+    so repeated CLI runs of the same config skip the cold jit compiles.
+    No-ops if disabled or if the user already configured a cache (env var
+    JAX_COMPILATION_CACHE_DIR or jax.config)."""
+    if not cfg.compilation_cache_dir:
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR"
+    ):
+        return
+    path = os.path.expanduser(cfg.compilation_cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -245,6 +245,37 @@ def test_fake_select_pallas_matches_xla(rng):
     assert (sel <= (pos < counts[..., None])).all()
 
 
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """init_run's cache hook points jax at cfg.compilation_cache_dir, but
+    never overrides a user-configured cache (env var or jax.config)."""
+    import os
+
+    import jax
+
+    from deep_interpolation_clustering_tpu.cli.common import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        cache = str(tmp_path / "xla")
+        enable_compilation_cache(Config(compilation_cache_dir=cache))
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert os.path.isdir(cache)
+
+        # user's env var wins
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
+        enable_compilation_cache(Config(compilation_cache_dir=cache))
+        assert jax.config.jax_compilation_cache_dir is None
+
+        # empty string disables
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        enable_compilation_cache(Config(compilation_cache_dir=""))
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_fake_select_partitioned_on_mesh(rng):
     """The custom_partitioning wrapper (used on TPU so the Mosaic kernel
     shards row-wise instead of being replicated by SPMD) must match the
