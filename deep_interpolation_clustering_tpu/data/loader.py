@@ -157,8 +157,11 @@ def augment_batch(
     ob: Array, timestamp: Array, padding_mask: Array, key: Array, ob_std: float
 ) -> tuple:
     """Gaussian train-time augmentation on observations (std=`ob_std`) and
-    timestamps (std=0.01), re-masked (reference dataloader.py:196-217)."""
-    k_ob, k_ts = jax.random.split(key)
-    ob_n = (ob + jax.random.normal(k_ob, ob.shape) * ob_std) * padding_mask
-    ts_n = (timestamp + jax.random.normal(k_ts, timestamp.shape) * 0.01) * padding_mask
+    timestamps (std=0.01), re-masked (reference dataloader.py:196-217).
+
+    One stacked normal draw for both planes replaces two draws plus a
+    key split (measured perf-neutral; kept for the simpler form)."""
+    noise = jax.random.normal(key, (2,) + ob.shape)
+    ob_n = (ob + noise[0] * ob_std) * padding_mask
+    ts_n = (timestamp + noise[1] * 0.01) * padding_mask
     return ob_n, ts_n
