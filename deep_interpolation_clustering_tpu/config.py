@@ -210,8 +210,14 @@ class Config:
         known = {f.name for f in dataclasses.fields(cls)}
         d = {k: v for k, v in d.items() if k in known}
         d.update(overrides)
-        # JSON round-trips tuples as lists
-        for k in ("select_opt_k", "internal_metrics"):
-            if k in d and isinstance(d[k], list):
-                d[k] = tuple(d[k])
+        # JSON round-trips tuples as lists — coerce back for every
+        # tuple-defaulted field, not a hardcoded name list
+        for f in dataclasses.fields(cls):
+            default = (
+                f.default_factory()  # type: ignore[misc]
+                if f.default_factory is not dataclasses.MISSING  # type: ignore[misc]
+                else f.default
+            )
+            if isinstance(default, tuple) and isinstance(d.get(f.name), list):
+                d[f.name] = tuple(d[f.name])
         return cls(**d)
