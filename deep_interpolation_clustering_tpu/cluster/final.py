@@ -27,6 +27,7 @@ from ..info import COHORTS
 from ..utils import logger
 from .align import align_labels, align_labels_with_center, generate_align_map
 from .kmeans import fit_kmeans_impl, kmeans_predict
+from .optk import dbscan_quality
 
 LOAD_KEYS = ("encounter_id", "hidden", "ob", "padding_mask")
 DL_KEYS = ("cluster_pred", "cluster_label")
@@ -129,6 +130,10 @@ class FinalLabeler:
             else:
                 aligned = align_labels_with_center(feat, raw, train_centers)
             d["cluster_id"] = aligned
+            # final-label quality: cluster/noise counts + silhouette with
+            # and without noise (reference p4_clustering_final.py:209-233)
+            quality = dbscan_quality(feat, aligned)
+            logger.info("dbscan %s quality: %s", cohort, quality)
             d.pop("ob", None)
             d.pop("padding_mask", None)
             np.save(os.path.join(out_path, f"{cohort}_eps-{cfg.opt_eps}.npy"), d)

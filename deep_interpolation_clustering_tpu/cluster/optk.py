@@ -30,6 +30,15 @@ from .kneedle import kneedle
 from .metrics import compute_internal_metrics, inertia_v1, inertia_v2
 
 
+def _read_gap_csv(path: str) -> List[Dict]:
+    """Reload a previous gap sweep's table (k as int, everything else float)."""
+    with open(path, newline="") as f:
+        return [
+            {k: (int(v) if k == "k" else float(v)) for k, v in row.items()}
+            for row in csv.DictReader(f)
+        ]
+
+
 def _maybe_plot(fn):
     """Run a plotting closure if matplotlib is importable; never fatal."""
     try:
@@ -104,6 +113,13 @@ class KSelection:
         Tibshirani sum D_r/(2 n_r))."""
         cfg = self.cfg
         names = list(internal_metric_names or cfg.internal_metrics)
+        csv_path = os.path.join(self.out_path, f"gap_sts_v{version}.csv")
+        if os.path.exists(csv_path) and not cfg.overwrite:
+            # reuse the previous sweep's table (reference p2:281-287) —
+            # at 100k scale recomputing is minutes of k-means per re-run
+            logger.info("loading previous %s (overwrite=False)", csv_path)
+            rows = _read_gap_csv(csv_path)
+            return self._gap_summary(rows, names, csv_path, plot, write_csv=False)
         inertia = inertia_v1 if version == 1 else inertia_v2
         data = np.asarray(data, np.float32)
         lo, rng_width = float(data.min()), float(data.max() - data.min())
@@ -145,7 +161,20 @@ class KSelection:
                 k, row["gap"], ref_mean, act, ref_s,
             )
             rows.append(row)
+        return self._gap_summary(rows, names, csv_path, plot)
 
+    def _gap_summary(
+        self,
+        rows: List[Dict],
+        names: Sequence[str],
+        csv_path: str,
+        plot: bool,
+        write_csv: bool = True,
+    ) -> Dict:
+        """Tibshirani rule + CSV + plots over a gap table (fresh or reloaded)."""
+        ks = [r["k"] for r in rows]
+        # a reloaded CSV may predate a change in configured internal metrics
+        names = [n for n in names if n in rows[0]]
         # Tibshirani rule: smallest k with gap(k) >= gap(k+1) - s(k+1).
         # On under-trained latents the gap can rise monotonically and the
         # rule never fires; the argmax-gap fallback still gives a usable
@@ -157,11 +186,12 @@ class KSelection:
                 break
         opt_k_argmax = max(rows, key=lambda r: r["gap"])["k"]
 
-        csv_path = os.path.join(self.out_path, f"gap_sts_v{version}.csv")
-        with open(csv_path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-            w.writeheader()
-            w.writerows(rows)
+        if write_csv:
+            with open(csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+                w.writeheader()
+                w.writerows(rows)
+        version = os.path.basename(csv_path).rsplit("_v", 1)[-1].split(".")[0]
         if plot:
             def draw(plt):
                 # gap curve with the Tibshirani reference-spread error bars
@@ -227,6 +257,29 @@ def _derive_min_samples(explicit: Optional[int], feat: np.ndarray) -> int:
     return explicit if explicit else feat.shape[-1] + 1
 
 
+def dbscan_quality(feat: np.ndarray, labels: np.ndarray) -> Dict:
+    """Cluster-quality summary for DBSCAN labels: cluster/noise counts plus
+    silhouette with and without the noise points — the pair the reference
+    logs both in the p2 eps sweep (p2_clustering_optK.py:148-166) and for
+    the final p4 dbscan labels (p4_clustering_final.py:209-233). Noise
+    (-1) counts as its own cluster in the with-noise score, exactly as
+    sklearn's silhouette treats it."""
+    from sklearn.metrics import silhouette_score as sk_silhouette
+
+    labels = np.asarray(labels)
+    n_clusters = len(set(labels.tolist())) - (1 if -1 in labels else 0)
+    n_noise = int(np.sum(labels == -1))
+    row: Dict = {"n_clusters": n_clusters, "n_noise": n_noise}
+    mask = labels != -1
+    if n_clusters >= 2:
+        row["silhouette_with_noise"] = float(sk_silhouette(feat, labels))
+        if mask.sum() and len(set(labels[mask].tolist())) >= 2:
+            row["silhouette_wo_noise"] = float(
+                sk_silhouette(feat[mask], labels[mask])
+            )
+    return row
+
+
 class DbscanExplorer:
     """k-distance graph + eps sweep (reference `Dbscan`, p2:90-168).
     Host-side sklearn; the eps knee uses our Kneedle."""
@@ -265,23 +318,14 @@ class DbscanExplorer:
         self, feat: np.ndarray, eps_values: Optional[Sequence[float]] = None
     ) -> List[Dict]:
         from sklearn.cluster import DBSCAN
-        from sklearn.metrics import silhouette_score as sk_silhouette
 
         if eps_values is None:
             eps_values = np.arange(0.5, 5.0, 0.5)
         rows = []
         for eps in eps_values:
             labels = DBSCAN(eps=eps, min_samples=self._min_samples(feat)).fit_predict(feat)
-            n_clusters = len(set(labels)) - (1 if -1 in labels else 0)
-            n_noise = int(np.sum(labels == -1))
-            row = {"eps": float(eps), "n_clusters": n_clusters, "n_noise": n_noise}
-            mask = labels != -1
-            if n_clusters >= 2:
-                row["silhouette_with_noise"] = float(sk_silhouette(feat, labels))
-                if mask.sum() and len(set(labels[mask])) >= 2:
-                    row["silhouette_wo_noise"] = float(
-                        sk_silhouette(feat[mask], labels[mask])
-                    )
+            row = {"eps": float(eps)}
+            row.update(dbscan_quality(feat, labels))
             rows.append(row)
             logger.info("dbscan eps sweep: %s", row)
         return rows

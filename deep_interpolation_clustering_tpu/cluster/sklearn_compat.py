@@ -27,7 +27,13 @@ is a migration-validation tool, not a hot path. For everything
 performance-critical use `kmeans.kmeans_fit`.
 
 Bit-parity regime: exact label agreement is guaranteed only when sklearn
-itself runs SINGLE-THREADED (`OMP_NUM_THREADS=1` / `threadpoolctl`).
+itself runs SINGLE-THREADED (`OMP_NUM_THREADS=1` / `threadpoolctl`), and
+only for modern sklearn (pyproject pins `scikit-learn>=1.3` in the
+analytics/test extras; verified bit-exact against the installed 1.9.0):
+the k-means++ candidate sampling here mirrors the plain float32
+`np.cumsum` of recent sklearn, whereas older releases used
+`stable_cumsum` (float64 accumulation) and can select different
+candidates from the same RandomState.
 sklearn's `lloyd_iter_chunked_dense` accumulates center sums in
 per-thread partial buffers reduced in thread order; with >1 thread the
 float32 summation order differs from this module's global-order

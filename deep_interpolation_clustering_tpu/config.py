@@ -109,6 +109,10 @@ class Config:
         "Davies-Bouldin_Index",
         "Calinski-Harabasz",
     )
+    # recompute analytics artifacts even when their CSV already exists
+    # (reference p2_clustering_optK.py:281-287 reloads gap_sts_v1.csv unless
+    # overwrite — at 100k scale that is minutes of k-means redone per re-run)
+    overwrite: bool = False
 
     # ---- final labels (p4) --------------------------------------------
     cluster_method: str = "kmeans"  # kmeans | dbscan | dl | consensus

@@ -16,11 +16,12 @@ This module computes the same selection without sorting:
     ties by position order is distribution-identical to the previous
     cumulative tie-fill (conditioned on the score multiset, positions are
     exchangeable, so any fixed rule picks a uniform k-subset).
-  * The k-th smallest key per row comes from a 15-pass 2-bits-per-pass MSD
-    radix select (each pass narrows the known prefix of the answer by
-    counting keys under three bounds). In plain XLA that would re-read the
-    key array from HBM 45 times; the Pallas kernel keeps the whole row
-    tile resident in VMEM and does ONE HBM read + one mask write.
+  * The k-th smallest key per row comes from a 30-pass one-bit-per-pass
+    MSD radix select (each pass fixes the next answer bit with a single
+    count-reduction — reduction-minimal, see `_radix_kth`). In plain XLA
+    those 30 count passes would each re-read the key array from HBM; the
+    Pallas kernel keeps the whole row tile resident in VMEM and does ONE
+    HBM read + one mask write.
   * All arithmetic is int32 compares/shifts — bit-exact on every backend —
     so the XLA fallback (sort-based, used off-TPU where sorts are cheap
     and Mosaic isn't available) produces the IDENTICAL mask and the kernel

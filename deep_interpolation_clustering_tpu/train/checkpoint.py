@@ -85,6 +85,13 @@ def save_checkpoint(
     return path
 
 
+def load_meta(path: str) -> Dict:
+    """Read only the JSON meta blob from a checkpoint (npz entries load
+    lazily, so this touches one small array, not the weights)."""
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"]).decode())
+
+
 def load_checkpoint(
     path: str, opt_state_template: Any = None
 ) -> Tuple[int, Dict, Dict, Any, Dict]:
@@ -104,13 +111,24 @@ def load_checkpoint(
         treedef = jax.tree_util.tree_structure(opt_state_template)
         template_leaves = jax.tree_util.tree_leaves(opt_state_template)
         if len(leaves) != len(template_leaves):
-            # layout mismatch (e.g. a checkpoint from before the optimizer
-            # state went flat-vector): params/state still restore; the
-            # optimizer restarts fresh rather than crashing the resume
+            # layout mismatch: params/state still restore; the optimizer
+            # restarts fresh rather than crashing the resume. The logged
+            # signature distinguishes the known legacy layout (pre-flat-
+            # vector: one moment pair per param leaf, so MORE leaves than
+            # the template) from a truncated/corrupted blob (fewer).
+            sig = lambda ls: "[" + ", ".join(  # noqa: E731
+                str(tuple(np.asarray(l).shape)) for l in ls[:4]
+            ) + (", ..." if len(ls) > 4 else "") + "]"
             logger.warning(
-                "optimizer state layout mismatch (checkpoint %d leaves, "
-                "template %d) — restoring params only, optimizer state "
-                "restarts fresh", len(leaves), len(template_leaves),
+                "optimizer state layout mismatch — checkpoint %d leaves %s "
+                "vs template %d leaves %s (%s): restoring params only, "
+                "optimizer state restarts fresh",
+                len(leaves), sig(leaves), len(template_leaves),
+                sig(template_leaves),
+                "looks like the pre-flat-vector legacy layout"
+                if len(leaves) > len(template_leaves)
+                else "FEWER leaves than the template — possibly a "
+                "truncated or corrupted checkpoint",
             )
             return meta["epoch"], params, state, None, meta
         leaves = [
@@ -170,6 +188,25 @@ class FlagDict:
             d[m] = self.best[m]
             d[m + "_epoch"] = self.best_epoch[m]
         return d
+
+    def state_dict(self) -> Dict:
+        """JSON-serializable snapshot for the checkpoint meta blob. The
+        reference loses this on resume (utils.py:126-138 re-creates the
+        flag dict at inf), so a resumed run's first — typically worse —
+        epoch overwrites every best checkpoint; persisting it fixes that."""
+        return {"best": dict(self.best), "best_epoch": dict(self.best_epoch)}
+
+    def merge_state(self, d: Dict) -> None:
+        """Min-merge a saved snapshot into the live flags. Each checkpoint
+        records bests as of ITS save, so merging across every metric dir's
+        checkpoint recovers each metric's true best regardless of which
+        checkpoint the weights were restored from."""
+        best = d.get("best", {})
+        best_epoch = d.get("best_epoch", {})
+        for m, v in best.items():
+            if m in self.best and float(v) <= self.best[m]:
+                self.best[m] = float(v)
+                self.best_epoch[m] = int(best_epoch.get(m, self.best_epoch[m]))
 
 
 def weight_dirs(root: str, metrics: Sequence[str]) -> Dict[str, str]:

@@ -494,6 +494,7 @@ class Trainer:
                         "lr": self.lr_schedule.lr,
                         "metric": m,
                         "lr_schedule": self.lr_schedule.state_dict(),
+                        "flag_dict": self.flag_dict.state_dict(),
                     },
                 )
                 logger.info("saving for %s", m)
@@ -533,6 +534,18 @@ class Trainer:
             self.lr_schedule.lr = meta["lr"]
             self.lr_schedule.num_steps = epoch
             set_learning_rate(self.opt_state, meta["lr"])
+        # Restore best-metric flags by min-merging EVERY metric dir's saved
+        # snapshot (each checkpoint records the bests as of its own save) —
+        # otherwise the first resumed epoch "improves" every metric from inf
+        # and overwrites the best checkpoints with worse models. The torch
+        # reference has this flaw (utils.py:126-138); resume is first-class
+        # here, so we exceed it.
+        for d in self.weight_paths.values():
+            p = os.path.join(d, ckpt.CKPT_NAME)
+            if os.path.exists(p):
+                fd = ckpt.load_meta(p).get("flag_dict")
+                if fd:
+                    self.flag_dict.merge_state(fd)
         logger.info("=> restored checkpoint %s (epoch %d)", path, epoch)
 
     def close(self) -> None:

@@ -134,6 +134,31 @@ def test_final_labeler_dbscan_path(tmp_path, rng):
         assert os.path.exists(out_f)
 
 
+def test_dbscan_quality_summary(rng):
+    """The cluster-quality pair the reference logs for final dbscan labels
+    (p4_clustering_final.py:209-233): silhouette with noise-as-a-cluster
+    and silhouette on the denoised subset, skipped when degenerate."""
+    from sklearn.metrics import silhouette_score
+
+    from deep_interpolation_clustering_tpu.cluster.optk import dbscan_quality
+
+    x = rng.randn(120, 8).astype(np.float32)
+    x[:60] += 10.0
+    labels = np.array([0] * 60 + [1] * 55 + [-1] * 5)
+    q = dbscan_quality(x, labels)
+    assert q["n_clusters"] == 2 and q["n_noise"] == 5
+    np.testing.assert_allclose(
+        q["silhouette_with_noise"], silhouette_score(x, labels), rtol=1e-6
+    )
+    m = labels != -1
+    np.testing.assert_allclose(
+        q["silhouette_wo_noise"], silhouette_score(x[m], labels[m]), rtol=1e-6
+    )
+    # degenerate cases: one cluster -> reference skips the silhouettes
+    q1 = dbscan_quality(x, np.zeros(120, np.int64))
+    assert q1["n_clusters"] == 1 and "silhouette_with_noise" not in q1
+
+
 def test_final_labeler_consensus_path(tmp_path, rng):
     """External 1-based consensus CSV labels re-mapped through the
     training SBP align map (reference p4:241-287; train+valid only)."""
@@ -185,12 +210,29 @@ def test_kselection_elbow_and_gap(tmp_path, rng):
     # internal metrics present
     assert "Sihouette" in gap["rows"][0]
 
-    # figure surface (reference p2:276-332): gap error-bar plot, gap/ref/act
-    # overlay, and the per-K internal-metric panels
-    gap = sel.gap_statistic(d["hidden"], version=1, plot=True)
+    # re-run without overwrite: the table is reloaded from CSV, not
+    # recomputed (reference p2:281-287 — at 100k scale a recompute is
+    # minutes of k-means); summary and rows come out identical. The
+    # figure surface (reference p2:276-332) regenerates from the reloaded
+    # rows: gap error-bar plot, gap/ref/act overlay, internal-metric panels.
+    mtime = os.stat(gap["csv"]).st_mtime_ns
+    gap2 = sel.gap_statistic(d["hidden"], version=1, plot=True)
+    assert os.stat(gap2["csv"]).st_mtime_ns == mtime  # CSV untouched
+    assert gap2["opt_k"] == gap["opt_k"]
+    assert gap2["opt_k_argmax"] == gap["opt_k_argmax"]
+    for r, r2 in zip(gap["rows"], gap2["rows"]):
+        assert set(r2) == set(r)
+        for key in r:
+            assert r2[key] == pytest.approx(r[key])
     for png in (
         "gap_statistic-1_v1.png",
         "gap_statistic-2_v1.png",
         "internal_metrics_v1.png",
     ):
         assert os.path.exists(os.path.join(sel.out_path, png)), png
+
+    # overwrite=True forces the recompute and rewrites the CSV
+    sel_ow = KSelection(cfg.replace(overwrite=True), str(tmp_path))
+    gap3 = sel_ow.gap_statistic(d["hidden"], version=1, plot=False)
+    assert os.stat(gap3["csv"]).st_mtime_ns != mtime
+    assert [r["k"] for r in gap3["rows"]] == ks

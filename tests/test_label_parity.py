@@ -32,6 +32,14 @@ from deep_interpolation_clustering_tpu.models import forward
 B, C, T, R, HOURS, K = 64, 6, 30, 6, 6, 3
 
 
+def _single_threaded_sklearn():
+    """Pin sklearn's BLAS/OpenMP pools to one thread for the bit-exactness
+    fits (threadpoolctl ships with sklearn)."""
+    import threadpoolctl
+
+    return threadpoolctl.threadpool_limits(1)
+
+
 def _planes(rng, n):
     mask = np.zeros((n, C, T), np.float32)
     for i in range(n):
@@ -131,9 +139,14 @@ def test_label_parity_vs_real_sklearn_kmeans():
         merged = tr.merge_ob_pred(datasets["training"], dumps)
     hidden, ob, mask = merged["hidden"], merged["ob"], merged["padding_mask"]
 
-    sk = sklearn_cluster.KMeans(
-        n_clusters=k, n_init=20, random_state=0, algorithm="lloyd"
-    ).fit(hidden)
+    # bit-exactness holds only single-threaded (sklearn_compat docstring):
+    # multi-threaded lloyd reduces center sums in thread order and low-order
+    # bits drift. n<=256 happens to fit one lloyd chunk today, but pin it so
+    # the test stays stable if sizes grow.
+    with _single_threaded_sklearn():
+        sk = sklearn_cluster.KMeans(
+            n_clusters=k, n_init=20, random_state=0, algorithm="lloyd"
+        ).fit(hidden)
     ours = kmeans_fit_sklearn(hidden, k, n_init=20, random_state=0)
 
     # bit-exact parity on the raw fit
@@ -183,9 +196,10 @@ def test_sklearn_compat_exact_on_blobs():
             c = rng.randn(k, d) * (1 + seed)
             x = (c[rng.randint(k, size=n)] + rng.randn(n, d)).astype(np.float32)
         for s in (0, 11):
-            sk = sklearn_cluster.KMeans(
-                n_clusters=k, n_init=10, random_state=s, algorithm="lloyd"
-            ).fit(x)
+            with _single_threaded_sklearn():
+                sk = sklearn_cluster.KMeans(
+                    n_clusters=k, n_init=10, random_state=s, algorithm="lloyd"
+                ).fit(x)
             ours = kmeans_fit_sklearn(x, k, n_init=10, random_state=s)
             np.testing.assert_array_equal(np.asarray(ours.labels), sk.labels_)
             np.testing.assert_allclose(

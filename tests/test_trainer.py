@@ -96,6 +96,44 @@ def test_trainer_restore_continues(tmp_path, cohorts):
     assert np.isfinite(m["loss"])
 
 
+def test_restore_preserves_best_flags(tmp_path, cohorts):
+    """A resumed run's first (worse) epoch must NOT overwrite the best
+    checkpoints: flag state persists in the checkpoint meta and is
+    min-merged across metric dirs on restore. The torch reference loses it
+    (utils.py:126-138 re-creates the flag dict at inf on every run), so
+    resume there regresses best checkpoints — this exceeds it."""
+    from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_cfg(max_epochs=4)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    tr.train()
+    best = dict(tr.flag_dict.best)
+    best_epoch = dict(tr.flag_dict.best_epoch)
+    ae_path = tmp_path / "weight" / "ae_mse" / ckpt.CKPT_NAME
+    before = ae_path.read_bytes()
+
+    cfg2 = tiny_cfg(restore=True, restore_metric="ae_mse")
+    tr2 = Trainer(cfg2, make_datasets(cfg2, cohorts), str(tmp_path), use_tensorboard=False)
+    tr2.load_weight()
+    # flags restored exactly, for every monitored metric with a checkpoint
+    for m, v in best.items():
+        if np.isfinite(v):
+            assert tr2.flag_dict.best[m] == v
+            assert tr2.flag_dict.best_epoch[m] == best_epoch[m]
+
+    # a strictly worse epoch after resume does not touch the best checkpoint
+    worse = {m: v * 2 + 1.0 for m, v in best.items() if np.isfinite(v)}
+    tr2.epoch += 1
+    tr2.aly_pred("valid", dict(worse))
+    assert ae_path.read_bytes() == before
+
+    # ... while a genuinely better epoch still does
+    better = {m: v / 2 for m, v in best.items() if np.isfinite(v)}
+    tr2.epoch += 1
+    tr2.aly_pred("valid", dict(better))
+    assert ae_path.read_bytes() != before
+
+
 def test_checkpoint_opt_layout_mismatch_degrades(tmp_path):
     """A checkpoint whose optimizer-state layout doesn't match the current
     template (e.g. one written before the flat-vector optimizer) must
