@@ -1,6 +1,7 @@
 """Fused (lax.scan) epochs must be bit-identical to per-batch stepping."""
 
 import numpy as np
+import pytest
 
 from deep_interpolation_clustering_tpu import Config
 from deep_interpolation_clustering_tpu.data import (
@@ -24,6 +25,7 @@ def _setup(tmp_path, fused, name):
     return tr, ds
 
 
+@pytest.mark.slow
 def test_fused_epoch_matches_stepped(tmp_path):
     tr_f, ds_f = _setup(tmp_path, True, "fused")
     tr_s, ds_s = _setup(tmp_path, False, "stepped")

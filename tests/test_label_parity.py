@@ -102,6 +102,7 @@ def _align(labels, centers, ob, mask):
     return relabel[labels], aligned_centers
 
 
+@pytest.mark.slow
 def test_label_parity_vs_real_sklearn_kmeans():
     """The p4 question the shared-centers test sidesteps: run an actual
     `sklearn.KMeans(n_init=20, random_state=s)` (reference

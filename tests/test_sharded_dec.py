@@ -2,6 +2,7 @@
 batch-sharded inputs must train, track delta, and produce valid dumps."""
 
 import numpy as np
+import pytest
 
 from deep_interpolation_clustering_tpu import Config
 from deep_interpolation_clustering_tpu.data import (
@@ -13,6 +14,7 @@ from deep_interpolation_clustering_tpu.parallel import make_mesh
 from deep_interpolation_clustering_tpu.train import ClusterTrainer, Trainer
 
 
+@pytest.mark.slow
 def test_sharded_dec_end_to_end(tmp_path):
     raw = make_synthetic_cohorts(n_total=160, max_obs=16, seed=5, split=(0.8, 0.1, 0.1))
     cohorts = process_splits(raw, rng=np.random.RandomState(0))

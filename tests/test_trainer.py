@@ -42,6 +42,7 @@ def make_datasets(cfg, cohorts):
     return {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
 
 
+@pytest.mark.slow
 def test_pretrain_trainer_loss_decreases(tmp_path, cohorts):
     cfg = tiny_cfg(max_epochs=4)
     tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
@@ -54,6 +55,7 @@ def test_pretrain_trainer_loss_decreases(tmp_path, cohorts):
     assert os.path.exists(tmp_path / "weight" / "ae_mse" / "checkpoint.npz")
 
 
+@pytest.mark.slow
 def test_pretrain_eval_dump_roundtrip(tmp_path, cohorts):
     cfg = tiny_cfg(max_epochs=2)
     tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
@@ -71,6 +73,7 @@ def test_pretrain_eval_dump_roundtrip(tmp_path, cohorts):
     np.testing.assert_array_equal(loaded["hidden"], ob_pred["hidden"])
 
 
+@pytest.mark.slow
 def test_trainer_restore_continues(tmp_path, cohorts):
     from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
 
@@ -96,6 +99,7 @@ def test_trainer_restore_continues(tmp_path, cohorts):
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 def test_restore_preserves_best_flags(tmp_path, cohorts):
     """A resumed run's first (worse) epoch must NOT overwrite the best
     checkpoints: flag state persists in the checkpoint meta and is
@@ -173,6 +177,7 @@ def test_mesh_cohort_smaller_than_batch_raises(tmp_path, cohorts):
         tr.train_one_epoch(tr.datasets["training"], denoise=False)
 
 
+@pytest.mark.slow
 def test_restore_resumes_lr_schedule(tmp_path, cohorts):
     """A resumed 'step'-mode run must CONTINUE the decayed LR trajectory.
     The closed-form step decay recomputes from num_steps, so restoring
@@ -196,6 +201,7 @@ def test_restore_resumes_lr_schedule(tmp_path, cohorts):
     assert nxt == pytest.approx(max(cfg.init_lr * 0.5 ** (e + 1), cfg.min_lr))
 
 
+@pytest.mark.slow
 def test_cluster_trainer_end_to_end(tmp_path, cohorts):
     pre_cfg = tiny_cfg(max_epochs=2)
     pre_path = str(tmp_path / "pretrain")
@@ -225,6 +231,7 @@ def test_cluster_trainer_end_to_end(tmp_path, cohorts):
     np.testing.assert_allclose(ob_pred["cluster_pred"].sum(1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_trainer_matches_single_device(tmp_path):
     """Data-parallel over the 8-device CPU mesh must reproduce the
     single-device run numerically (global-batch BN + loss reductions) over

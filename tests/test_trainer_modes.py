@@ -2,6 +2,7 @@
 epochs, exact optimizer-state restore, and denoise training."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -51,12 +52,14 @@ def test_plateau_schedule_through_trainer(tmp_path):
     assert tr.lr_schedule.lr >= tr.cfg.min_lr
 
 
+@pytest.mark.slow
 def test_denoise_training(tmp_path):
     tr, ds = _mk(tmp_path, "denoise", denoise=True)
     m = tr.train_one_epoch(ds["training"], denoise=True)
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 def test_optimizer_state_restore_exact(tmp_path):
     """Resume must continue bit-where-it-left: restored params AND optimizer
     moments equal the checkpointed ones."""
