@@ -149,10 +149,13 @@ class Config:
     # device_data; falls back to per-batch stepping otherwise.
     fused_epoch: bool = True
     # XLA matmul precision. TPU f32 matmuls default to bf16 inputs, which
-    # deviates ~3e-3 from the CPU/torch baseline and breaks the 1e-5 parity
-    # contract on real hardware; "highest" restores ~3e-5 agreement at a
-    # measured ~20% step cost on this (matmul-light) model. Set "default"
-    # for peak throughput when parity doesn't matter.
+    # deviates ~3e-3 from the CPU/torch baseline; "highest" restores
+    # torch agreement to a machine-checked 5.7e-4 max on the latent at the
+    # production T=354 shape (bench.py onchip_parity; host-CPU holds 2.6e-6
+    # there — the residue is the chip's VPU transcendentals/accumulation,
+    # not precision loss in the matmuls) at a measured ~29% step cost on
+    # this (matmul-light) model. Set "default" for peak throughput when
+    # parity doesn't matter.
     matmul_precision: str = "highest"
     # forward-pass compute dtype. float32 is both the parity requirement
     # AND the measured-fastest choice on v5e for this model (the hot ops
