@@ -138,6 +138,16 @@ class Config:
     # transcendental approximations), so leave this off on the strict
     # parity path.
     use_pallas: bool = False
+    # run all MLP head trunks (RBF compress + future/aux/fake heads) as ONE
+    # batched Linear->BN->Dropout->Linear chain (ops/nn.heads_apply_fused).
+    # Identical math per head (BN stats stay per-head; block-diagonal fc2),
+    # f32 drift ~1e-7 vs the unfused path; dropout patterns differ (one
+    # draw instead of per-head draws). MEASURED SLOWER on the real chip at
+    # the production shape — 959-995us/step fused vs 910-923 unfused at
+    # B=256/T=354 (benchmarks/profile_step.time_epoch, r3): the off-segment
+    # fc1 garbage FLOPs + row-concat copies cost more than the collapsed
+    # op count saves. Kept as a tested option; OFF by default.
+    fused_heads: bool = False
     # keep the whole training cohort resident in device HBM and gather
     # batches on-device by index (one upload per cohort instead of one
     # host->device transfer per batch); the 100k-encounter cohort is ~3.4 GB

@@ -28,7 +28,7 @@ from ..ops import nn
 from ..ops.dec import centers_init, soft_assignment, target_distribution
 from ..ops.interpolation import cci_forward, cci_identity_kernel, sci_forward
 from ..ops.lstm import bilstm_forward, lstm_init
-from ..ops.rbf import rbf_decode, rbf_init
+from ..ops.rbf import rbf_init, rbf_push
 
 Array = jax.Array
 
@@ -171,35 +171,65 @@ def _forward_impl(
     dec_out, _, _ = bilstm_forward(params["decoder"], dec_in, hidden, cell)
     interp_data = jnp.transpose(dec_out, (1, 0, 2))  # (B, R, 2H)
 
-    rec, new_state["rbf"] = rbf_decode(
-        params["rbf"], state["rbf"], interp_data, x,
-        cfg.ref_points, cfg.hours_from_admission, cfg.dropout, train, k_rbf,
-        cfg.rbf_basis, use_pallas=cfg.use_pallas,
-    )
-
-    aux: Dict[str, Array] = {}
-    if "predict_future" in params:
-        y, new_state["predict_future"] = nn.head_apply(
-            params["predict_future"], state["predict_future"], cat_hidden,
-            cfg.dropout, train, k_future,
-        )
-        aux["future_vital"] = jax.nn.sigmoid(y)
-    if "aux_head" in params:
-        y, new_state["aux_head"] = nn.head_apply(
-            params["aux_head"], state["aux_head"], cat_hidden,
-            cfg.dropout, train, k_aux,
-        )
-        for i, task in enumerate(t for t in cfg.aux_tasks if t != "future_vital"):
-            aux[task] = y[:, i]
-
+    pos_neg = None
     if use_fake:
         pos_neg = jnp.concatenate([cat_hidden, fake_cat_hidden], axis=0)
         pos_neg = pos_neg[fake_perm_idx]
-        y, new_state["fake_det_head"] = nn.head_apply(
-            params["fake_det_head"], state["fake_det_head"], pos_neg,
-            cfg.dropout, train, k_fake,
+
+    aux: Dict[str, Array] = {}
+    b_sz, r, in_dim = interp_data.shape
+    head_list = [("rbf", interp_data.reshape(b_sz * r, in_dim), True, k_rbf)]
+    if "predict_future" in params:
+        head_list.append(("predict_future", cat_hidden, False, k_future))
+    if "aux_head" in params:
+        head_list.append(("aux_head", cat_hidden, False, k_aux))
+    if use_fake:
+        head_list.append(("fake_det_head", pos_neg, False, k_fake))
+
+    if cfg.fused_heads and len(head_list) > 1:
+        # one batched trunk for every head — the post-encode tail is
+        # op-count-bound, not FLOP-bound (benchmarks/profile_step.py)
+        ys, new_sts = nn.heads_apply_fused(
+            [{
+                "params": params[n] if n != "rbf" else params["rbf"]["compress"],
+                "state": state[n] if n != "rbf" else state["rbf"]["compress"],
+                "x": xh, "relu": relu,
+            } for n, xh, relu, _ in head_list],
+            cfg.dropout, train, k_rbf,
         )
-        aux["fake_det"] = jax.nn.log_softmax(y, axis=1)
+        head_out = {n: y for (n, _, _, _), y in zip(head_list, ys)}
+        for (n, _, _, _), st in zip(head_list, new_sts):
+            if n == "rbf":
+                new_state["rbf"] = {"compress": st}
+            else:
+                new_state[n] = st
+    else:
+        head_out = {}
+        for n, xh, relu, kh in head_list:
+            p = params[n] if n != "rbf" else params["rbf"]["compress"]
+            s = state[n] if n != "rbf" else state["rbf"]["compress"]
+            y, st = nn.head_apply(p, s, xh, cfg.dropout, train, kh, relu=relu)
+            head_out[n] = y
+            if n == "rbf":
+                new_state["rbf"] = {"compress": st}
+            else:
+                new_state[n] = st
+
+    proj = head_out["rbf"].reshape(b_sz, r, cfg.num_variables)
+    proj = jnp.transpose(proj, (0, 2, 1))  # (B, C, R)
+    rec = rbf_push(
+        params["rbf"]["kernel"], proj, x, cfg.ref_points,
+        cfg.hours_from_admission, cfg.rbf_basis, use_pallas=cfg.use_pallas,
+    )
+
+    if "predict_future" in params:
+        aux["future_vital"] = jax.nn.sigmoid(head_out["predict_future"])
+    if "aux_head" in params:
+        y = head_out["aux_head"]
+        for i, task in enumerate(t for t in cfg.aux_tasks if t != "future_vital"):
+            aux[task] = y[:, i]
+    if use_fake:
+        aux["fake_det"] = jax.nn.log_softmax(head_out["fake_det_head"], axis=1)
         if use_triplet:
             aux["positive"] = pos_cat_hidden
             aux["negative"] = fake_cat_hidden

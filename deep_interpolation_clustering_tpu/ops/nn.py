@@ -113,3 +113,111 @@ def head_apply(
     h = dropout(key, h, rate, train)
     y = linear_apply(p["fc2"], h)
     return y, {"bn": bn_s}
+
+
+def heads_apply_fused(heads, rate: float, train: bool, key: Optional[Array]):
+    """Run SEVERAL head trunks (Linear -> BN -> [ReLU] -> Dropout -> Linear)
+    as ONE batched chain: one fc1 gemm over the row-concat of all head
+    inputs x the column-concat of all fc1 weights, one BN normalize pass,
+    one masked ReLU, one dropout draw, one block-diagonal fc2 gemm.
+
+    Motivation was the op-count/latency-bound post-encode tail
+    (benchmarks/profile_step.py) — but the fusion MEASURED SLOWER on the
+    real chip at the production shape (959-995us/step vs 910-923 unfused,
+    B=256/T=354, r3): the fused fc1 computes every head's columns for every
+    head's rows, and those off-segment garbage FLOPs plus the row-concat
+    copies cost more than the collapsed op count saves. Kept as a tested
+    `Config.fused_heads` option (OFF by default) and as the measured record.
+    Correctness of the garbage blocks: they are finite, (a) normalized by
+    the OWNING head's stats, (b) multiplied by the exact ZERO blocks of the
+    block-diagonal fc2 — adding 0.0 terms, bit-preserving — and (c) sliced
+    away.
+
+    Per-head BN statistics stay per-head: a static (n_heads, N) row-segment
+    indicator matmul computes each head's column-block sums restricted to
+    its own rows (one MXU op instead of 2*n_heads VPU reductions), then
+    `var = mean(square(x - mean))` exactly like `batchnorm_apply` (same
+    formula, matmul reduction order — f32 drift ~1e-7). Under a data mesh
+    the rows are batch-sharded and the indicator contraction psums — the
+    same global-batch BN semantics as the unfused path.
+
+    `heads`: list of dicts `{"params", "state", "x", "relu"}` with a shared
+    input width. `key`: ONE dropout key for the whole fused plane (the
+    unfused path draws per head; dropout patterns carry no parity contract).
+    Returns `(ys, new_states)` aligned with `heads`.
+    """
+    import numpy as np
+
+    n_heads = len(heads)
+    xs = [h["x"] for h in heads]
+    rows = [x.shape[0] for x in xs]
+    hids = [h["params"]["fc1"]["w"].shape[0] for h in heads]
+    outs = [h["params"]["fc2"]["w"].shape[0] for h in heads]
+    row_off = np.concatenate([[0], np.cumsum(rows)])
+    col_off = np.concatenate([[0], np.cumsum(hids)])
+    ocol_off = np.concatenate([[0], np.cumsum(outs)])
+    n_rows, n_cols, n_outs = int(row_off[-1]), int(col_off[-1]), int(ocol_off[-1])
+
+    x_cat = jnp.concatenate(xs, axis=0)  # (N, in)
+    w1 = jnp.concatenate([h["params"]["fc1"]["w"] for h in heads], axis=0)
+    b1 = jnp.concatenate([h["params"]["fc1"]["b"] for h in heads])
+    hid = x_cat @ w1.T + b1  # (N, HS)
+
+    if train:
+        seg = np.zeros((n_heads, n_rows), np.float32)
+        for i in range(n_heads):
+            seg[i, row_off[i]:row_off[i + 1]] = 1.0
+        seg = jnp.asarray(seg)
+        sums = seg @ hid  # (n_heads, HS) row-segment column sums
+        mean_blocks = [
+            sums[i, col_off[i]:col_off[i + 1]] / rows[i] for i in range(n_heads)
+        ]
+        mean_vec = jnp.concatenate(mean_blocks)
+        sq = seg @ jnp.square(hid - mean_vec)
+        var_blocks = [
+            sq[i, col_off[i]:col_off[i + 1]] / rows[i] for i in range(n_heads)
+        ]
+        var_vec = jnp.concatenate(var_blocks)
+        new_states = []
+        for i, h in enumerate(heads):
+            n = rows[i]
+            unbiased = var_blocks[i] * (n / max(n - 1, 1))
+            st = h["state"]["bn"]
+            new_states.append({"bn": {
+                "mean": (1 - BN_MOMENTUM) * st["mean"] + BN_MOMENTUM * mean_blocks[i],
+                "var": (1 - BN_MOMENTUM) * st["var"] + BN_MOMENTUM * unbiased,
+            }})
+    else:
+        mean_vec = jnp.concatenate([h["state"]["bn"]["mean"] for h in heads])
+        var_vec = jnp.concatenate([h["state"]["bn"]["var"] for h in heads])
+        new_states = [{"bn": dict(h["state"]["bn"])} for h in heads]
+
+    gamma = jnp.concatenate([h["params"]["bn"]["gamma"] for h in heads])
+    beta = jnp.concatenate([h["params"]["bn"]["beta"] for h in heads])
+    y = (hid - mean_vec) * jax.lax.rsqrt(var_vec + BN_EPS) * gamma + beta
+
+    if any(h["relu"] for h in heads):
+        relu_cols = np.zeros((n_cols,), bool)
+        for i, h in enumerate(heads):
+            if h["relu"]:
+                relu_cols[col_off[i]:col_off[i + 1]] = True
+        y = jnp.where(jnp.asarray(relu_cols), jnp.maximum(y, 0.0), y)
+
+    y = dropout(key, y, rate, train)
+
+    # block-diagonal fc2: off-diagonal zeros multiply the off-segment
+    # garbage exactly to 0.0 (all garbage is finite), so each head's output
+    # block equals its standalone fc2 up to gemm tiling
+    w2 = jnp.zeros((n_cols, n_outs), heads[0]["params"]["fc2"]["w"].dtype)
+    for i, h in enumerate(heads):
+        w2 = jax.lax.dynamic_update_slice(
+            w2, h["params"]["fc2"]["w"].T, (int(col_off[i]), int(ocol_off[i]))
+        )
+    b2 = jnp.concatenate([h["params"]["fc2"]["b"] for h in heads])
+    out = y @ w2 + b2  # (N, OS)
+
+    ys = [
+        out[row_off[i]:row_off[i + 1], ocol_off[i]:ocol_off[i + 1]]
+        for i in range(n_heads)
+    ]
+    return ys, new_states

@@ -105,6 +105,45 @@ def rbf_init(
     return params, {"compress": compress_s}
 
 
+def rbf_push(
+    kernel: Array,
+    proj: Array,
+    raw_input: Array,
+    ref_points: int,
+    hours_look_ahead: float,
+    basis: str = "gaussian",
+    use_pallas: bool = False,
+) -> Array:
+    """Push per-channel values `proj: (B, C, R)` at the reference points
+    back onto each channel's observed irregular timestamps -> `(B, C, T)`
+    (reference rbf.py:57-108, minus the CompressFC trunk — see rbf_decode).
+    `use_pallas` routes the gaussian push through the fused TPU kernel
+    (ops/pallas_interp.py)."""
+    out_dim = kernel.shape[0]
+
+    if use_pallas and basis == "gaussian":
+        from .pallas_interp import rbf_project_pallas
+
+        return rbf_project_pallas(
+            kernel, proj, raw_input, ref_points, hours_look_ahead
+        )
+
+    m = raw_input[:, out_dim : 2 * out_dim, :]  # (B, C, T)
+    t_obs = raw_input[:, 2 * out_dim : 3 * out_dim, :]
+    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
+
+    # |t_obs - ref_t| — the reference computes (d^2)^0.5 (rbf.py:76)
+    distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)
+    beta = jnp.log1p(jnp.exp(kernel))  # softplus positivity (:78)
+
+    phi = basis_func_dict()[basis](beta[None, :, None, None], distances)
+    phi = phi * m[..., None]  # mask out padded observations (:96)
+    norm = jnp.sum(phi, axis=-1)  # (B, C, T)
+
+    y = jnp.sum(phi * proj[:, :, None, :], axis=-1)  # (B, C, T)
+    return y / (norm + RBF_NORM_EPS) * m  # (:107)
+
+
 def rbf_decode(
     params: Dict,
     state: Dict,
@@ -124,6 +163,8 @@ def rbf_decode(
     planes select where to evaluate (reference rbf.py:57-108).
     `use_pallas` routes the gaussian RBF push through the fused TPU kernel
     (ops/pallas_interp.py); the CompressFC matmul trunk always stays XLA.
+    (The model's fused-heads path runs this trunk batched with the aux/fake
+    trunks — nn.heads_apply_fused — and calls `rbf_push` directly.)
     """
     out_dim = params["kernel"].shape[0]
 
@@ -139,26 +180,8 @@ def rbf_decode(
     proj = proj.reshape(b_sz, r, out_dim)
     proj = jnp.transpose(proj, (0, 2, 1))  # (B, C, R)
 
-    if use_pallas and basis == "gaussian":
-        from .pallas_interp import rbf_project_pallas
-
-        y = rbf_project_pallas(
-            params["kernel"], proj, raw_input, ref_points, hours_look_ahead
-        )
-        return y, {"compress": compress_s}
-
-    m = raw_input[:, out_dim : 2 * out_dim, :]  # (B, C, T)
-    t_obs = raw_input[:, 2 * out_dim : 3 * out_dim, :]
-    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
-
-    # |t_obs - ref_t| — the reference computes (d^2)^0.5 (rbf.py:76)
-    distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)
-    beta = jnp.log1p(jnp.exp(params["kernel"]))  # softplus positivity (:78)
-
-    phi = basis_func_dict()[basis](beta[None, :, None, None], distances)
-    phi = phi * m[..., None]  # mask out padded observations (:96)
-    norm = jnp.sum(phi, axis=-1)  # (B, C, T)
-
-    y = jnp.sum(phi * proj[:, :, None, :], axis=-1)  # (B, C, T)
-    y = y / (norm + RBF_NORM_EPS) * m  # (:107)
+    y = rbf_push(
+        params["kernel"], proj, raw_input, ref_points, hours_look_ahead,
+        basis, use_pallas,
+    )
     return y, {"compress": compress_s}
