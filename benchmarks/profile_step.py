@@ -417,7 +417,7 @@ def run_micro(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--precision", default="highest")
+    ap.add_argument("--precision", default="high")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--mode", choices=("ablate", "micro"), default="ablate")
     args = ap.parse_args()

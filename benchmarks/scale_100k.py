@@ -42,10 +42,14 @@ def main():
 
     # B=4096 measured best at this scale (1024: ~127k, 4096: ~199k, 8192:
     # ~184k enc/s): T=48 steps are per-op-overhead-bound, so fewer, larger
-    # steps win until HBM working-set pressure pushes back
+    # steps win until HBM working-set pressure pushes back.
+    # epoch_scan_unroll=4: +7% on the fused T=48 epoch (benchmarks/
+    # unroll_sweep.py, r3) — this analytics bench carries no fused==stepped
+    # bit-identity contract, so the drift trade is free here.
     cfg = Config(
         batch_size=4096, num_timestamps=MAX_OBS, max_epochs=3,
         log_train_freq=10_000, log_valid_freq=10_000, early_stopping=10_000,
+        epoch_scan_unroll=4,
     )
     datasets = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
     n_dev = len(jax.devices())

@@ -5,9 +5,11 @@ while HBM utilization sits at ~14% — the step is latency-bound and batch
 amortizes it (benchmarks/scale_100k.py showed ~127k -> ~199k enc/s going
 B=1024 -> 4096 at T=48), but nobody had measured the production T=354
 shape. This sweep runs the SAME fused-epoch production path as bench.py
-at B in {256..4096} x matmul_precision in {highest, default} on the real
-chip and prints a markdown table (for PARITY.md) plus one JSON line per
-point. The winning config feeds bench.py's `peak_throughput` field.
+at B in {256..4096} x matmul_precision in {highest, high, default} on the
+real chip and prints a markdown table (for PARITY.md) plus one JSON line
+per point. The winning config feeds bench.py's `peak_throughput` field.
+(r3 addendum: "high" was added after the first sweep once it measured
+parity-identical to "highest" at +26% throughput — see PARITY.md.)
 
 Run: `python benchmarks/sweep_frontier.py [--quick]`
 """
@@ -35,7 +37,7 @@ def main():
                                else [256, 512, 1024, 2048, 4096])
 
     rows = []
-    for precision in ("highest", "default"):
+    for precision in ("highest", "high", "default"):
         for b in batches:
             enc_s, cost = bench.bench_ours(batch=b, matmul_precision=precision)
             roof = bench._roofline(cost)

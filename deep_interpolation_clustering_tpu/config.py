@@ -158,15 +158,28 @@ class Config:
     # per-batch console logs are emitted after the epoch). Requires
     # device_data; falls back to per-batch stepping otherwise.
     fused_epoch: bool = True
-    # XLA matmul precision. TPU f32 matmuls default to bf16 inputs, which
-    # deviates ~3e-3 from the CPU/torch baseline; "highest" restores
-    # torch agreement to a machine-checked 5.7e-4 max on the latent at the
-    # production T=354 shape (bench.py onchip_parity; host-CPU holds 2.6e-6
-    # there — the residue is the chip's VPU transcendentals/accumulation,
-    # not precision loss in the matmuls) at a measured ~29% step cost on
-    # this (matmul-light) model. Set "default" for peak throughput when
-    # parity doesn't matter.
-    matmul_precision: str = "highest"
+    # lax.scan `unroll` for the fused train/eval epoch bodies: unrolling k
+    # steps per scan iteration lets XLA co-schedule the data-only ops
+    # (gather, fake select, augment) of step i+1 with the compute of step i.
+    # NOT bit-preserving: the unrolled body fuses differently, so gradient
+    # reduction order shifts — measured max-param drift ~4e-5 after 5 Adam
+    # steps (losses bit-identical; near-zero gradients amplified by Adam's
+    # eps denominator). Keep 1 (the default) on the fused==stepped
+    # bit-identity contract path; n_batches % unroll != 0 still works.
+    epoch_scan_unroll: int = 1
+    # XLA matmul precision. Measured on the v5e at the production shape
+    # (B=256/T=354, bench.py onchip_parity + step timing, r3):
+    #   "high"    (bf16_3x) — vs-torch 5.698e-4, 700 us/step  <- default
+    #   "highest" (f32)     — vs-torch 5.703e-4, 884 us/step
+    #   "default" (bf16)    — vs-torch 3.5e-2,   545 us/step
+    # "high" and "highest" are parity-indistinguishable because the on-chip
+    # residue is the VPU's (transcendentals + 354-term SCI softmax
+    # accumulation; host-CPU holds 2.6e-6 vs torch), NOT matmul rounding —
+    # so "high" is strictly better: same machine-checked parity, ~26%
+    # faster. The CPU parity suite is unaffected (CPU ignores this knob,
+    # always f32). Set "default" for peak throughput when parity doesn't
+    # matter; "highest" only to rule matmul rounding out of a discrepancy.
+    matmul_precision: str = "high"
     # forward-pass compute dtype. float32 is both the parity requirement
     # AND the measured-fastest choice on v5e for this model (the hot ops
     # are VPU-bound logsumexp chains and R=6-step LSTMs, not big MXU

@@ -257,7 +257,8 @@ def make_train_epoch(
             return (params, state, opt_state), losses
 
         (params, state, opt_state), losses = jax.lax.scan(
-            body, (params, state, opt_state), (idx_mat, keys)
+            body, (params, state, opt_state), (idx_mat, keys),
+            unroll=cfg.epoch_scan_unroll,
         )
         return params, state, opt_state, losses
 
@@ -302,7 +303,9 @@ def make_eval_epoch(cfg: Config, denoise: bool, dump_keys=None):
             batch["sample_mask"] = mask
             return None, eval_step(params, state, batch, key)
 
-        _, (losses, outputs) = jax.lax.scan(body, None, (idx_mat, mask_mat, keys))
+        _, (losses, outputs) = jax.lax.scan(
+            body, None, (idx_mat, mask_mat, keys), unroll=cfg.epoch_scan_unroll
+        )
         return losses, outputs
 
     return jax.jit(epoch_fn)
