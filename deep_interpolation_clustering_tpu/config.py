@@ -180,6 +180,17 @@ class Config:
     # always f32). Set "default" for peak throughput when parity doesn't
     # matter; "highest" only to rule matmul rounding out of a discrepancy.
     matmul_precision: str = "high"
+    # PRNG implementation for the trainer's root key (every draw in a run
+    # — augmentation noise, fake-select bits, dropout, param init —
+    # descends from it and inherits the impl). "threefry2x32" (JAX default)
+    # is counter-based and fully deterministic across backends, shardings
+    # and topologies. "rbg" rides the TPU hardware RNG: the step's ~2.8M
+    # draws cost 200 -> 71 us (benchmarks/rng_ab.py), worth ~8-12% step
+    # throughput at the production shape — but XLA's RngBitGenerator is
+    # only reproducible per (backend, topology), so the sharded-vs-single
+    # bit-match guarantee and cross-backend replay do NOT hold under it.
+    # Parity contracts are unaffected (eval forward draws nothing).
+    prng_impl: str = "threefry2x32"
     # forward-pass compute dtype. float32 is both the parity requirement
     # AND the measured-fastest choice on v5e for this model (the hot ops
     # are VPU-bound logsumexp chains and R=6-step LSTMs, not big MXU

@@ -57,7 +57,10 @@ class Trainer:
                 f"batch_size {cfg.batch_size} not divisible by mesh size {self.n_shards}"
             )
 
-        key = jax.random.PRNGKey(cfg.seed)
+        # the root key's impl propagates to EVERY draw in the run (splits /
+        # fold_ins inherit it): augmentation, fake select bits, dropout,
+        # param init. "rbg" rides the hardware RNG — see Config.prng_impl.
+        key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         self.base_key, init_key = jax.random.split(key)
         self.params, self.state = init_net(
             init_key, cfg, clustering=self.clustering

@@ -82,3 +82,20 @@ def test_optimizer_state_restore_exact(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prng_impl_rbg(tmp_path):
+    """`Config.prng_impl="rbg"` trains (finite losses) and is reproducible
+    within one backend: two trainers with the same seed walk identical
+    trajectories. (Cross-backend/sharding determinism is explicitly NOT in
+    rbg's contract — see the config.py comment.)"""
+    tr1, ds1 = _mk(tmp_path, "rbg1", prng_impl="rbg")
+    tr2, ds2 = _mk(tmp_path, "rbg2", prng_impl="rbg")
+    m1 = tr1.train_one_epoch(ds1["training"], denoise=False)
+    m2 = tr2.train_one_epoch(ds2["training"], denoise=False)
+    assert np.isfinite(m1["loss"])
+    np.testing.assert_array_equal(m1["loss"], m2["loss"])
+    p1 = jax.tree_util.tree_leaves(tr1.params)
+    p2 = jax.tree_util.tree_leaves(tr2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
