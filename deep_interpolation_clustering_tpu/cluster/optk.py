@@ -40,16 +40,55 @@ def _read_gap_csv(path: str) -> List[Dict]:
 
 
 def _maybe_plot(fn):
-    """Run a plotting closure if matplotlib is importable; never fatal."""
+    """Run a plotting closure if matplotlib is importable; never fatal.
+    The closure runs under a seaborn-whitegrid/poster-like style built from
+    plain matplotlib rcParams (the reference styles its p2 figures with
+    `sns.set(style="whitegrid"); sns.set_context("poster")` and the tab10
+    palette — p2_clustering_optK.py:299-330; seaborn itself stays out of
+    the dependency surface)."""
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fn(plt)
+        style = {
+            "axes.grid": True,
+            "grid.color": "#b0b0b0",
+            "grid.linewidth": 0.8,
+            "axes.edgecolor": "#cccccc",
+            "axes.facecolor": "white",
+            "axes.axisbelow": True,
+            "axes.spines.top": False,
+            "axes.spines.right": False,
+            "axes.prop_cycle": plt.cycler(
+                color=plt.cm.tab10(np.linspace(0, 1, 10))
+            ),
+            "lines.linewidth": 3,
+            "lines.markersize": 9,
+            "axes.labelsize": 22,
+            "xtick.labelsize": 18,
+            "ytick.labelsize": 18,
+            "legend.fontsize": 18,
+            "axes.titlesize": 24,
+            "figure.autolayout": False,
+        }
+        with plt.rc_context(style):
+            fn(plt)
     except Exception as e:  # pragma: no cover
         logger.warning("plotting skipped: %s", e)
+
+
+def _relabel_legend(ax):
+    """Map legend labels through LEGEND_INFO the way the reference does for
+    every styled figure (p2_clustering_optK.py:316-319)."""
+    from ..info import LEGEND_INFO
+
+    leg = ax.get_legend()
+    if leg is not None:
+        for t in leg.get_texts():
+            t.set_text(LEGEND_INFO.get(t.get_text(), t.get_text()))
+    return leg
 
 
 class KSelection:
@@ -194,25 +233,47 @@ class KSelection:
         version = os.path.basename(csv_path).rsplit("_v", 1)[-1].split(".")[0]
         if plot:
             def draw(plt):
-                # gap curve with the Tibshirani reference-spread error bars
-                plt.figure(figsize=(9, 6))
-                plt.errorbar(
+                from ..info import LEGEND_INFO
+
+                xticks = list(range(0, self.cfg.k_max + 1, 2))
+                # figure 1: gap only, with the Tibshirani reference-spread
+                # error bars (the reference's gap_statistic-1 composition,
+                # p2:304-309, plus the s_k bars its rule uses)
+                fig, ax = plt.subplots(figsize=(12, 8))
+                ax.errorbar(
                     ks, [r["gap"] for r in rows],
                     yerr=[r["ref_s"] for r in rows],
-                    marker="o", capsize=4,
+                    marker="o", capsize=4, label="gap",
                 )
-                plt.xlabel("Number of clusters K")
-                plt.ylabel("gap")
-                plt.savefig(os.path.join(self.out_path, f"gap_statistic-1_v{version}.png"))
-                plt.close()
-                plt.figure(figsize=(9, 6))
+                ax.legend(loc="best")
+                _relabel_legend(ax)
+                ax.set_xlabel("Number of clusters K")
+                ax.set_ylabel(LEGEND_INFO.get("gap", "gap"))
+                ax.set_xticks(xticks)
+                fig.savefig(
+                    os.path.join(self.out_path, f"gap_statistic-1_v{version}.png"),
+                    bbox_inches="tight",
+                )
+                plt.close(fig)
+                # figure 2: gap/ref/act melted lineplot, legend outside the
+                # axes (the reference's gap_statistic-2, p2:310-330)
+                fig, ax = plt.subplots(figsize=(12, 8))
+                markers = {"gap": "o", "ref": "s", "act": "^"}
                 for key in ("gap", "ref", "act"):
-                    plt.plot(ks, [r[key] for r in rows], marker="o", label=key)
-                plt.legend()
-                plt.xlabel("Number of clusters K")
-                plt.ylabel("log(inertia)")
-                plt.savefig(os.path.join(self.out_path, f"gap_statistic-2_v{version}.png"))
-                plt.close()
+                    ax.plot(ks, [r[key] for r in rows],
+                            marker=markers[key], label=key)
+                ax.legend(loc=2, ncol=1, borderaxespad=0.0,
+                          bbox_to_anchor=(1.02, 1))
+                leg = _relabel_legend(ax)
+                ax.set_xlabel("Number of clusters K")
+                ax.set_ylabel(LEGEND_INFO.get("log(inertia)", "log(inertia)"))
+                ax.set_xticks(xticks)
+                fig.savefig(
+                    os.path.join(self.out_path, f"gap_statistic-2_v{version}.png"),
+                    bbox_extra_artists=(leg,) if leg else None,
+                    bbox_inches="tight",
+                )
+                plt.close(fig)
                 # per-K internal validity metrics, one panel per metric
                 if names:
                     fig, axes = plt.subplots(
