@@ -168,7 +168,7 @@ def time_eval_epoch(cfg, n_batches=20, epochs=8):
     epoch_fn = make_eval_epoch(cfg, denoise=False, dump_keys=())
     idx = jnp.arange(n).reshape(n_batches, B)
     mask_mat = jnp.ones((n_batches, B), jnp.float32)
-    key = jax.random.PRNGKey(2)
+    key = jax.random.key(2, impl=cfg.prng_impl)  # impl rides the key
 
     def call(k):
         losses, _ = epoch_fn(params, state, data, idx, mask_mat, k)
@@ -217,7 +217,7 @@ def time_epoch(cfg, n_batches=20, epochs=8):
     opt_state = optimizer.init(params)
     epoch_fn = make_train_epoch(cfg, optimizer, denoise=False)
     idx = jnp.arange(n).reshape(n_batches, B)
-    key = jax.random.PRNGKey(2)
+    key = jax.random.key(2, impl=cfg.prng_impl)  # impl rides the key
 
     # Sync methodology (same as bench.py): block_until_ready can return
     # before remote execution finishes on the tunneled backend; only a
@@ -244,7 +244,10 @@ def time_epoch(cfg, n_batches=20, epochs=8):
 def run_ablate(args):
     from deep_interpolation_clustering_tpu import Config
 
-    base = dict(batch_size=args.batch, matmul_precision=args.precision)
+    base = dict(
+        batch_size=args.batch, matmul_precision=args.precision,
+        epoch_scan_unroll=args.unroll, prng_impl=args.prng,
+    )
     cases = {
         "full": Config(**base),
         "no_fake": Config(**base, fake_detection=False, loss="ae_mse_sup"),
@@ -418,6 +421,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--precision", default="high")
+    ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--prng", default="threefry2x32")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--mode", choices=("ablate", "micro"), default="ablate")
     args = ap.parse_args()

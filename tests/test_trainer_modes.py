@@ -99,3 +99,23 @@ def test_prng_impl_rbg(tmp_path):
     p2 = jax.tree_util.tree_leaves(tr2.params)
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unroll_epoch_on_mesh(tmp_path):
+    """epoch_scan_unroll > 1 compiles and trains on the 8-device data mesh
+    (including a scan length not divisible by the unroll factor)."""
+    from deep_interpolation_clustering_tpu.parallel import make_mesh
+
+    cfg = Config(
+        batch_size=16, num_timestamps=16, max_epochs=2,
+        log_train_freq=1000, log_valid_freq=1000, epoch_scan_unroll=3,
+    )
+    cohorts = process_splits(
+        make_synthetic_cohorts(n_total=80, max_obs=16, seed=21),
+        rng=np.random.RandomState(0),
+    )
+    ds = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
+    tr = Trainer(cfg, ds, str(tmp_path / "unroll_mesh"), mesh=make_mesh(8),
+                 use_tensorboard=False)
+    m = tr.train_one_epoch(ds["training"], denoise=False)
+    assert np.isfinite(m["loss"])
