@@ -1,0 +1,113 @@
+"""Interleaved A/B: Config.rng_draw_bits 32 vs 16 for the fused train epoch.
+
+The step's big (B, C, T) draws (augmentation normals x2, fake-select keys,
+fake-noise uniforms) are ~92% of its ~3.3M threefry words; 16-bit draws
+halve that work while keeping every threefry determinism guarantee (unlike
+prng_impl="rbg"). Between-run tunnel noise is +-40 us, so A and B compile
+up front and alternate within one session; report min over reps per arm
+(same methodology as the unroll/prng 2x2 in PARITY.md).
+
+Run: `python benchmarks/drawbits_ab.py [--unroll 1] [--prng threefry2x32]
+      [--precision high] [--reps 4]`
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from unroll_sweep import make_batch  # noqa: E402  (same synthetic shapes)
+
+
+def build(cfg, n_batches=20):
+    import jax
+    import jax.numpy as jnp
+
+    from deep_interpolation_clustering_tpu.models import init_net
+    from deep_interpolation_clustering_tpu.train import make_optimizer
+    from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
+
+    B, T = cfg.batch_size, cfg.num_timestamps
+    n = B * n_batches
+    rng = np.random.RandomState(0)
+    ob, mask, ts, ae, fv, fvm = make_batch(
+        rng, n, cfg.num_variables, T, cfg.hours_from_admission
+    )
+    data = {
+        "ob": jnp.asarray(ob), "padding_mask": jnp.asarray(mask),
+        "timestamp": jnp.asarray(ts), "ae_mask": jnp.asarray(ae),
+        "future_vital": jnp.asarray(fv), "future_vital_mask": jnp.asarray(fvm),
+    }
+    params, state = init_net(jax.random.key(1, impl=cfg.prng_impl), cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    epoch_fn = make_train_epoch(cfg, optimizer, denoise=False)
+    idx = jnp.arange(n).reshape(n_batches, B)
+    key = jax.random.key(2, impl=cfg.prng_impl)
+
+    st = {"params": params, "state": state, "opt": opt_state}
+
+    def run(ncalls, base):
+        import jax as _jax
+
+        t0 = time.perf_counter()
+        losses = None
+        for i in range(ncalls):
+            st["params"], st["state"], st["opt"], losses = epoch_fn(
+                st["params"], st["state"], st["opt"], data, idx,
+                _jax.random.fold_in(key, base + i),
+            )
+        float(_jax.device_get(losses["loss"][-1]))  # hard sync
+        return time.perf_counter() - t0
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--prng", default="threefry2x32")
+    ap.add_argument("--precision", default="high")
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=8)
+    args = ap.parse_args()
+
+    from deep_interpolation_clustering_tpu import Config
+
+    n_batches = 20
+    base = dict(
+        batch_size=256, num_timestamps=354, epoch_scan_unroll=args.unroll,
+        prng_impl=args.prng, matmul_precision=args.precision,
+    )
+    arms = {
+        "bits32": build(Config(**base, rng_draw_bits=32), n_batches),
+        "bits16": build(Config(**base, rng_draw_bits=16), n_batches),
+    }
+    for name, run in arms.items():
+        run(2, 0)  # compile + warm
+    best = {name: float("inf") for name in arms}
+    for rep in range(args.reps):
+        for name, run in arms.items():
+            t_short = run(2, 100 + 10 * rep)
+            t_long = run(args.epochs + 2, 200 + 10 * rep)
+            sec = (t_long - t_short) / args.epochs / n_batches
+            best[name] = min(best[name], sec)
+    for name, sec in best.items():
+        print(json.dumps({
+            "arm": name, "unroll": args.unroll, "prng": args.prng,
+            "us_per_step": round(1e6 * sec, 1),
+            "enc_per_sec": round(256 / sec),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,19 @@ class Config:
     # bit-match guarantee and cross-backend replay do NOT hold under it.
     # Parity contracts are unaffected (eval forward draws nothing).
     prng_impl: str = "threefry2x32"
+    # bit width of the step's big (B, C, T) random draws (augmentation
+    # normals, fake-select keys, fake-noise uniforms — together ~92% of the
+    # step's ~3.3M threefry words). 16 halves the threefry bit-generation
+    # while keeping its determinism guarantees, and the selection stays
+    # EXACTLY uniform (position tie-break, ops/pallas_select.py); but
+    # MEASURED WALL-NEUTRAL on the real chip (benchmarks/drawbits_ab.py,
+    # interleaved min-of-reps at B=256/T=354: 703.4 vs 702.3 us/step, an
+    # earlier rep 663.7 vs 645.9 — inside noise) because the draws already
+    # overlap with compute, and actively SLOWER under prng_impl="rbg"
+    # (488.1 -> 558.5 us/step: the hardware RNG is 32-bit-native, so the
+    # narrow path just adds conversions). Keep 32; the option stays as the
+    # measured record + for draw-bound experiment variants.
+    rng_draw_bits: int = 32
     # forward-pass compute dtype. float32 is both the parity requirement
     # AND the measured-fastest choice on v5e for this model (the hot ops
     # are VPU-bound logsumexp chains and R=6-step LSTMs, not big MXU

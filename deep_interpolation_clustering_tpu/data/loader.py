@@ -120,7 +120,10 @@ class ArrayDataset:
 # ------------------------------------------------------------------
 # device-side randomized transforms (jittable)
 # ------------------------------------------------------------------
-def make_fake_ob(ob: Array, padding_mask: Array, key: Array, scale: float) -> Array:
+def make_fake_ob(
+    ob: Array, padding_mask: Array, key: Array, scale: float,
+    draw_bits: int = 32,
+) -> Array:
     """Adversarial negatives: replace a random 50% (>=1) of each channel's
     valid observations with uniform noise over the scaled input range
     (reference dataloader.py:182-193).
@@ -138,30 +141,56 @@ def make_fake_ob(ob: Array, padding_mask: Array, key: Array, scale: float) -> Ar
     row equals the real one. The p0 pipeline never produces such channels
     (mean_imputation guarantees >=1 observation), but the contract is
     explicit.
+
+    `draw_bits=16` (Config.rng_draw_bits) halves the threefry work of the
+    two (B, C, T) draws: 16 random key bits still pick a uniform k-subset
+    (ties broken by position — the pallas_select exchangeability argument
+    holds for ANY iid score distribution), and the noise keeps 10-bit-
+    mantissa resolution over the scaled range. Changes the drawn stream,
+    none of the contracts (same fn on every path/backend). Measured
+    wall-neutral on the chip — see the Config.rng_draw_bits comment.
     """
     b, c, t = ob.shape
     k_sel, k_noise = jax.random.split(key)
     n_valid = jnp.sum(padding_mask, axis=2).astype(jnp.int32)  # (B, C)
     num_perm = jnp.where(n_valid > 0, jnp.maximum(1, n_valid // 2), 0)
 
-    bits = jax.random.bits(k_sel, (b, c, t), dtype=jnp.uint32)
+    if draw_bits == 16:
+        bits = jax.random.bits(k_sel, (b, c, t), dtype=jnp.uint16)
+        bits = bits.astype(jnp.uint32) << 16
+        noise = jax.random.uniform(
+            k_noise, (b, c, t), dtype=jnp.float16
+        ).astype(jnp.float32)
+    else:
+        bits = jax.random.bits(k_sel, (b, c, t), dtype=jnp.uint32)
+        noise = jax.random.uniform(k_noise, (b, c, t))
     selected = fake_select_mask(bits, n_valid, num_perm)
-
-    noise = jax.random.uniform(k_noise, (b, c, t))
     if scale != 0:
         noise = noise * scale - scale / 2
     return jnp.where(selected, noise, ob)
 
 
 def augment_batch(
-    ob: Array, timestamp: Array, padding_mask: Array, key: Array, ob_std: float
+    ob: Array, timestamp: Array, padding_mask: Array, key: Array, ob_std: float,
+    draw_bits: int = 32,
 ) -> tuple:
     """Gaussian train-time augmentation on observations (std=`ob_std`) and
     timestamps (std=0.01), re-masked (reference dataloader.py:196-217).
 
     One stacked normal draw for both planes replaces two draws plus a
-    key split (measured perf-neutral; kept for the simpler form)."""
-    noise = jax.random.normal(key, (2,) + ob.shape)
+    key split (measured perf-neutral; kept for the simpler form).
+    `draw_bits=16` (Config.rng_draw_bits) draws the normals in float16 —
+    half the threefry words; the 16-bit inverse-CDF truncates the tails at
+    ~3.3 sigma (0.1% of draws) and quantizes at ~1e-3 relative, both
+    irrelevant for augmentation jitter and free of any parity contract
+    (train-only, stream-keyed). Measured wall-neutral on the chip — see
+    the Config.rng_draw_bits comment."""
+    if draw_bits == 16:
+        noise = jax.random.normal(
+            key, (2,) + ob.shape, dtype=jnp.float16
+        ).astype(jnp.float32)
+    else:
+        noise = jax.random.normal(key, (2,) + ob.shape)
     ob_n = (ob + noise[0] * ob_std) * padding_mask
     ts_n = (timestamp + noise[1] * 0.01) * padding_mask
     return ob_n, ts_n

@@ -57,7 +57,8 @@ def build_inputs(
     ob, timestamp = ob_raw, ts_raw
     if train and cfg.aug_input:
         ob, timestamp = augment_batch(
-            ob_raw, ts_raw, padding_mask, k_aug, cfg.aug_std
+            ob_raw, ts_raw, padding_mask, k_aug, cfg.aug_std,
+            draw_bits=cfg.rng_draw_bits,
         )
 
     ob = ob * padding_mask
@@ -82,11 +83,15 @@ def build_inputs(
     out["sample_mask"] = sample_mask
 
     if cfg.fake_detection:
-        fake_ob = make_fake_ob(ob_raw, padding_mask, k_fake, cfg.scale)
+        fake_ob = make_fake_ob(
+            ob_raw, padding_mask, k_fake, cfg.scale,
+            draw_bits=cfg.rng_draw_bits,
+        )
         fake_ts = ts_raw
         if train and cfg.aug_input:
             fake_ob, fake_ts = augment_batch(
-                fake_ob, ts_raw, padding_mask, k_fake_aug, cfg.aug_std
+                fake_ob, ts_raw, padding_mask, k_fake_aug, cfg.aug_std,
+                draw_bits=cfg.rng_draw_bits,
             )
         out["fake_x"] = stack(fake_ob * padding_mask, fake_ts)
         b = ob.shape[0]
@@ -100,7 +105,8 @@ def build_inputs(
 
     if cfg.triple_margin != 0.0 and cfg.fake_detection:
         pos_ob, pos_ts = augment_batch(
-            ob, timestamp, padding_mask, k_pos, cfg.triple_pos_std
+            ob, timestamp, padding_mask, k_pos, cfg.triple_pos_std,
+            draw_bits=cfg.rng_draw_bits,
         )
         # the reference never denoises the positive branch
         # (pretrain_trainer.py:171-173) — parity requires the raw jittered ob

@@ -144,6 +144,49 @@ def test_make_fake_ob_properties(rng):
     assert fake[fake != ob].min() >= -2.5 and fake[fake != ob].max() <= 2.5
 
 
+def test_make_fake_ob_draw_bits16(rng):
+    """16-bit draws (Config.rng_draw_bits=16) keep every make_fake_ob
+    property: exact-k replacement, valid-slot confinement, scaled-range
+    noise, and keyed determinism — only the drawn stream differs from the
+    32-bit path (half the threefry words; see data/loader.py)."""
+    ob = rng.randn(4, 6, 20).astype(np.float32)
+    mask = np.zeros((4, 6, 20), dtype=np.float32)
+    counts = rng.randint(1, 20, size=(4, 6))
+    for i in range(4):
+        for j in range(6):
+            mask[i, j, : counts[i, j]] = 1
+    obj, maskj = jnp.asarray(ob), jnp.asarray(mask)
+    key = jax.random.PRNGKey(0)
+    fake = np.asarray(make_fake_ob(obj, maskj, key, 5.0, draw_bits=16))
+    changed = (fake != ob).sum(axis=2)
+    np.testing.assert_array_equal(changed, np.maximum(1, (0.5 * counts).astype(int)))
+    assert ((fake != ob) <= (mask > 0)).all()
+    assert fake[fake != ob].min() >= -2.5 and fake[fake != ob].max() <= 2.5
+    np.testing.assert_array_equal(
+        fake, np.asarray(make_fake_ob(obj, maskj, key, 5.0, draw_bits=16))
+    )
+    # the two widths draw genuinely different streams under one key
+    fake32 = np.asarray(make_fake_ob(obj, maskj, key, 5.0, draw_bits=32))
+    assert (fake != fake32).any()
+
+
+def test_augment_batch_draw_bits16(rng):
+    """float16 normals stay masked, keyed-deterministic, and within the
+    ~3.3-sigma truncation of the 16-bit inverse CDF."""
+    ob = rng.randn(2, 6, 10).astype(np.float32)
+    ts = (6 * rng.rand(2, 6, 10)).astype(np.float32)
+    mask = (rng.rand(2, 6, 10) < 0.5).astype(np.float32)
+    obj, tsj, maskj = jnp.asarray(ob), jnp.asarray(ts), jnp.asarray(mask)
+    key = jax.random.PRNGKey(0)
+    ob2, ts2 = augment_batch(obj, tsj, maskj, key, 0.1, draw_bits=16)
+    ob2, ts2 = np.asarray(ob2), np.asarray(ts2)
+    assert (ob2[mask == 0] == 0).all() and (ts2[mask == 0] == 0).all()
+    assert np.abs(ob2[mask == 1] - ob[mask == 1]).max() < 0.1 * 3.5
+    assert np.abs(ts2[mask == 1] - ts[mask == 1]).max() < 0.01 * 3.5
+    ob3, ts3 = augment_batch(obj, tsj, maskj, key, 0.1, draw_bits=16)
+    np.testing.assert_array_equal(ob2, np.asarray(ob3))
+
+
 def test_augment_batch_masked(rng):
     ob = rng.randn(2, 6, 10).astype(np.float32)
     ts = (6 * rng.rand(2, 6, 10)).astype(np.float32)

@@ -101,6 +101,21 @@ def test_prng_impl_rbg(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_rng_draw_bits_modes(tmp_path):
+    """Both rng_draw_bits widths train (finite losses) and stay keyed-
+    deterministic under threefry; the two widths draw different streams,
+    so their trajectories differ."""
+    tr16a, ds16a = _mk(tmp_path, "db16a", rng_draw_bits=16)
+    tr16b, ds16b = _mk(tmp_path, "db16b", rng_draw_bits=16)
+    tr32, ds32 = _mk(tmp_path, "db32", rng_draw_bits=32)
+    m16a = tr16a.train_one_epoch(ds16a["training"], denoise=False)
+    m16b = tr16b.train_one_epoch(ds16b["training"], denoise=False)
+    m32 = tr32.train_one_epoch(ds32["training"], denoise=False)
+    assert np.isfinite(m16a["loss"]) and np.isfinite(m32["loss"])
+    np.testing.assert_array_equal(m16a["loss"], m16b["loss"])
+    assert not np.array_equal(m16a["loss"], m32["loss"])
+
+
 def test_unroll_epoch_on_mesh(tmp_path):
     """epoch_scan_unroll > 1 compiles and trains on the 8-device data mesh
     (including a scan length not divisible by the unroll factor)."""
