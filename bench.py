@@ -43,6 +43,18 @@ def make_batch(rng, b):
     return ob, mask, ts, ae, fv, fvm
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (same default dir as the CLIs,
+    cli/common.py): the bench compiles ~8 programs per run (4 epoch
+    variants x [execute + cost-analysis lower/compile] + 2 parity
+    forwards) at ~20-40 s each on the tunneled TPU; cached re-runs skip
+    all of it. Traced-fingerprint keyed, so a code change recompiles."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/xlacache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_ours(
     clustering: bool = False,
     batch: int = BATCH,
@@ -312,6 +324,7 @@ def _roofline(cost: dict) -> dict:
 
 
 def main():
+    _enable_compilation_cache()
     ours, cost = bench_ours()
     try:
         dec, dec_cost = bench_ours(clustering=True)

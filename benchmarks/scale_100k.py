@@ -73,6 +73,31 @@ def main():
         "encounters_per_sec": round(n_train / dt, 1),
     }))
 
+    # eval_interval mechanics in isolation: dispatch a window of fused
+    # epochs back-to-back, fetch all losses once (what Config.eval_interval
+    # does between eval boundaries). The per-epoch timing above pays one
+    # tunnel device_get round trip per epoch; this pays 1/k of it.
+    ds_train = datasets["training"]
+    nb = ds_train.num_batches(cfg.batch_size, drop_last=tr.n_shards > 1)
+    t0 = time.time()
+    k_window = 4
+    pend = []
+    for _ in range(k_window):
+        tr.epoch += 1
+        handles = tr._dispatch_fused_epoch(
+            ds_train, False, tr._epoch_key(tr.epoch),
+            np.random.RandomState(cfg.seed + tr.epoch),
+        )
+        pend.append((tr.epoch, handles, nb))
+    for e, handles, n_b in pend:
+        tr._finalize_fused_epoch(e, handles, n_b)
+    dt_def = (time.time() - t0) / k_window
+    print(json.dumps({
+        "metric": "pretrain_epoch_seconds_100k_deferred", "value": round(dt_def, 2),
+        "encounters_per_sec": round(n_train / dt_def, 1),
+        "window_epochs": k_window,
+    }))
+
     # latents for the full training cohort, then on-device gap statistic.
     # dump_keys skips the D2H of unneeded rec_ob; a warm pass excludes the
     # one-time jit compile so the metric matches the warmed pretrain phase

@@ -97,6 +97,23 @@ class Config:
     grad_clip: float = 15.0
     weight_decay_rate: float = 4e-4
     early_stopping: int = 50
+    # validate / checkpoint / early-stop every k-th epoch (always on the
+    # final one). 1 = the reference's eval-every-epoch cadence (default).
+    # k>1 additionally lets the trainer DISPATCH the intermediate fused
+    # train epochs back-to-back and defer every host loss-fetch to the
+    # eval boundary — on the tunneled TPU backend the per-epoch
+    # device_get round trip is the dominant trainer overhead at scale
+    # (PARITY.md: 0.35 s/epoch wall vs 0.18 s/epoch device compute at the
+    # 100k/B=4096 config), so batching k fetches into one recovers most
+    # of the gap. Bit-identical training trajectory for the epoch-indexed
+    # LR schedules ("step"/"warmup": stepped closed-form every epoch,
+    # tests/test_trainer_modes.py::test_eval_interval_bit_identical);
+    # "plateau" steps once per EVAL with that boundary's valid loss
+    # (patience then counts evals, the torch-ecosystem eval_interval
+    # semantics — it cannot see losses of epochs it never validated).
+    # Pretrain Trainer only: the DEC ClusterTrainer keeps the reference's
+    # per-epoch delta-stopping loop (clustering_trainer.py:118-124).
+    eval_interval: int = 1
 
     # ---- K-selection (p2) ---------------------------------------------
     k_max: int = 10

@@ -160,22 +160,75 @@ class Trainer:
     def train(self) -> Dict[str, float]:
         if self.cfg.restore:
             self.load_weight()
+        cfg = self.cfg
+        train_ds = self.datasets["training"]
         last_valid: Dict[str, float] = {}
+        # eval_interval>1: fused epochs dispatched but not yet fetched.
+        # Intermediate epochs have NO host-side device dependency (shuffle
+        # order is host RNG, "step"/"warmup" LR is closed-form, checkpoints
+        # and early-stop live at eval boundaries), so the dispatches queue
+        # back-to-back and the k loss fetches collapse into one tunnel
+        # round trip at the boundary — the dominant per-epoch overhead at
+        # scale (see Config.eval_interval).
+        pending: list = []
+
+        def drain():
+            for e, handles, nb in pending:
+                logger.info(
+                    "==> Epoch %d train %s",
+                    e, _fmt(self._finalize_fused_epoch(e, handles, nb)),
+                )
+            pending.clear()
+
         with timer("Duration of training"):
-            while self.epoch < self.cfg.max_epochs:
-                train_metrics = self.train_one_epoch(
-                    self.datasets["training"], denoise=self.cfg.denoise
+            while self.epoch < cfg.max_epochs:
+                is_eval = (
+                    cfg.eval_interval <= 1
+                    or self.epoch % cfg.eval_interval == 0
+                    or self.epoch + 1 >= cfg.max_epochs
                 )
-                logger.info("==> Epoch %d train %s", self.epoch, _fmt(train_metrics))
-                valid_metrics, _ = self.eval_one_epoch(
-                    "valid", self.datasets["validation"], denoise=self.cfg.denoise
+                defer = (
+                    cfg.eval_interval > 1
+                    and cfg.device_data
+                    and cfg.fused_epoch
+                    and len(train_ds) >= cfg.batch_size
                 )
-                last_valid = valid_metrics
-                result = self.aly_pred("valid", valid_metrics)
+                if defer:
+                    n_batches = train_ds.num_batches(
+                        cfg.batch_size, drop_last=self.n_shards > 1
+                    )
+                    handles = self._dispatch_fused_epoch(
+                        train_ds, cfg.denoise, self._epoch_key(self.epoch),
+                        np.random.RandomState(cfg.seed + self.epoch),
+                    )
+                    pending.append((self.epoch, handles, n_batches))
+                else:
+                    train_metrics = self.train_one_epoch(
+                        train_ds, denoise=cfg.denoise
+                    )
+                    logger.info(
+                        "==> Epoch %d train %s", self.epoch, _fmt(train_metrics)
+                    )
+                if is_eval:
+                    drain()
+                    valid_metrics, _ = self.eval_one_epoch(
+                        "valid", self.datasets["validation"], denoise=cfg.denoise
+                    )
+                    last_valid = valid_metrics
+                    result = self.aly_pred("valid", valid_metrics)
+                else:
+                    # epoch-indexed schedules advance every epoch even
+                    # without an eval; plateau can only step at evals (it
+                    # needs the valid loss) — see Config.eval_interval
+                    if cfg.lr_decay_mode != "plateau":
+                        self.lr_schedule.step(None)
+                        set_learning_rate(self.opt_state, self.lr_schedule.lr)
+                    result = {"early_stop": False}
                 self.epoch += 1
                 if result["early_stop"]:
                     logger.info("======== best model: %s", self.flag_dict.to_dict())
                     break
+            drain()  # defensive: every eval boundary already drained
         return last_valid
 
     def train_one_epoch(self, ds: ArrayDataset, denoise: bool) -> Dict[str, float]:
@@ -264,6 +317,16 @@ class Trainer:
         Batch-RNG keys match the per-batch path exactly (steps.batch_keys),
         so fused and unfused epochs are bit-identical; any ragged tail batch
         runs as one ordinary step with the next key in the sequence."""
+        handles = self._dispatch_fused_epoch(ds, denoise, epoch_key, shuffle_rng)
+        return self._finalize_fused_epoch(self.epoch, handles, n_batches)
+
+    def _dispatch_fused_epoch(
+        self, ds: ArrayDataset, denoise: bool, epoch_key, shuffle_rng
+    ):
+        """Dispatch one fused train epoch (scan + ragged tail step) with NO
+        host sync; returns the device-side loss handles. Separating
+        dispatch from fetch is what lets `eval_interval>1` queue several
+        epochs back-to-back before paying one tunnel round trip."""
         cfg = self.cfg
         data = self._cohort_device_data(ds)
         n = len(ds)
@@ -288,28 +351,34 @@ class Trainer:
                 self.params, self.state, self.opt_state, data,
                 self._put_idx(tail), key,
             )
+        return losses, tail_losses
 
+    def _finalize_fused_epoch(
+        self, epoch: int, handles, n_batches: int
+    ) -> Dict[str, float]:
+        """Fetch a dispatched epoch's losses and write its log/summary
+        records (post-hoc, at the same steps the per-batch path logs live)."""
+        cfg = self.cfg
+        losses, tail_losses = handles
         losses = jax.device_get(losses)
         if tail_losses is not None:
             tail_losses = jax.device_get(tail_losses)
             losses = {
                 k: np.concatenate([v, [tail_losses[k]]]) for k, v in losses.items()
             }
-        # per-batch metric record, written post-hoc at the same steps the
-        # per-batch path logs live
         for i in range(1, len(next(iter(losses.values()))) + 1):
             if i % cfg.log_train_freq == 1:
                 batch_metrics = {k: float(v[i - 1]) for k, v in losses.items()}
                 logger.info(
                     "%d-[%d/%d (%.0f%%)]: train-%s",
-                    self.epoch, i, n_batches, 100.0 * i / n_batches,
+                    epoch, i, n_batches, 100.0 * i / n_batches,
                     _fmt(batch_metrics),
                 )
                 self.summary.add_summary(
-                    self.epoch * n_batches + i, scope="train_batch", **batch_metrics
+                    epoch * n_batches + i, scope="train_batch", **batch_metrics
                 )
         out = {k: float(np.mean(v)) for k, v in losses.items()}
-        self.summary.add_summary(self.epoch, scope="train", **out)
+        self.summary.add_summary(epoch, scope="train", **out)
         return out
 
     # -------------------------------------------------------------- eval

@@ -17,8 +17,9 @@ from deep_interpolation_clustering_tpu.train.optim import get_learning_rate
 
 
 def _mk(tmp_path, name, **cfg_kw):
+    cfg_kw.setdefault("max_epochs", 4)
     cfg = Config(
-        batch_size=16, num_timestamps=16, max_epochs=4,
+        batch_size=16, num_timestamps=16,
         log_train_freq=1000, log_valid_freq=1000, **cfg_kw,
     )
     cohorts = process_splits(
@@ -99,6 +100,57 @@ def test_prng_impl_rbg(tmp_path):
     p2 = jax.tree_util.tree_leaves(tr2.params)
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_eval_interval_bit_identical(tmp_path):
+    """eval_interval>1 defers the loss fetch of intermediate fused epochs
+    but dispatches the SAME steps with the SAME keys and the same
+    closed-form "step" LR trajectory — so final params must be
+    bit-identical to eval-every-epoch training, and only the eval cadence
+    (summary records, checkpoint saves) may differ."""
+    kw = dict(max_epochs=6, lr_decay_mode="step",
+              lr_decay_step_or_patience=2, lr_decay_rate=0.5)
+    tr1, _ = _mk(tmp_path, "ei1", eval_interval=1, **kw)
+    tr3, _ = _mk(tmp_path, "ei3", eval_interval=3, **kw)
+    tr1.train()
+    tr3.train()
+    assert abs(tr1.lr_schedule.lr - tr3.lr_schedule.lr) < 1e-12
+    assert tr1.lr_schedule.num_steps == tr3.lr_schedule.num_steps
+    p1 = jax.tree_util.tree_leaves(tr1.params)
+    p3 = jax.tree_util.tree_leaves(tr3.params)
+    for a, b in zip(p1, p3):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the deferred run validated only at its boundaries: epochs 3 and 5
+    # (the final trained epoch is always an eval epoch)
+    import json, os
+    rows = [
+        json.loads(line)
+        for line in open(
+            os.path.join(str(tmp_path / "ei3"), "summary", "events.jsonl")
+        )
+    ]
+    valid_epochs = sorted({r["step"] for r in rows if r["scope"] == "valid"})
+    assert valid_epochs == [3, 5]
+    train_epochs = sorted({r["step"] for r in rows if r["scope"] == "train"})
+    assert train_epochs == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.slow
+def test_eval_interval_plateau_and_early_stop(tmp_path):
+    """plateau + eval_interval: the schedule steps once per eval (patience
+    counts evals), training still completes, and the LR stays clamped;
+    early-stop fires at an eval boundary when no metric improves."""
+    tr, _ = _mk(
+        tmp_path, "ei_plat", eval_interval=2, max_epochs=8,
+        lr_decay_mode="plateau", lr_decay_step_or_patience=0,
+        lr_decay_rate=0.5, early_stopping=1,
+    )
+    m = tr.train()
+    assert np.isfinite(m["loss"])
+    # evals happened at epochs 2,4,... => schedule stepped once per eval
+    assert tr.lr_schedule.num_steps < tr.epoch - 1
+    assert tr.cfg.min_lr <= tr.lr_schedule.lr <= tr.cfg.init_lr
 
 
 def test_rng_draw_bits_modes(tmp_path):
