@@ -168,6 +168,28 @@ def test_rng_draw_bits_modes(tmp_path):
     assert not np.array_equal(m16a["loss"], m32["loss"])
 
 
+def test_eval_interval_on_mesh(tmp_path):
+    """The deferred-dispatch window runs on the 8-device data mesh (drop-
+    last batching, no tail step) and produces finite metrics at the
+    boundary drain."""
+    from deep_interpolation_clustering_tpu.parallel import make_mesh
+
+    cfg = Config(
+        batch_size=16, num_timestamps=16, max_epochs=4, eval_interval=3,
+        log_train_freq=1000, log_valid_freq=1000,
+    )
+    cohorts = process_splits(
+        make_synthetic_cohorts(n_total=80, max_obs=16, seed=21),
+        rng=np.random.RandomState(0),
+    )
+    ds = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
+    tr = Trainer(cfg, ds, str(tmp_path / "ei_mesh"), mesh=make_mesh(8),
+                 use_tensorboard=False)
+    m = tr.train()
+    assert np.isfinite(m["loss"])
+    assert tr.epoch == 4  # epochs 1-3 trained; eval at 3 (final boundary)
+
+
 def test_unroll_epoch_on_mesh(tmp_path):
     """epoch_scan_unroll > 1 compiles and trains on the 8-device data mesh
     (including a scan length not divisible by the unroll factor)."""
