@@ -129,6 +129,12 @@ def export_to_torch_state_dict(params: Dict, state: Dict) -> Dict[str, np.ndarra
         sd[f"{prefix}.1.bias"] = np.asarray(p["bn"]["beta"])
         sd[f"{prefix}.1.running_mean"] = np.asarray(s["bn"]["mean"])
         sd[f"{prefix}.1.running_var"] = np.asarray(s["bn"]["var"])
+        # strict-load completeness: torch BatchNorm1d carries this buffer in
+        # its state_dict and the reference restores with strict=True
+        # (pretrain_trainer.py:400). It only feeds cumulative averaging
+        # (momentum=None), which the reference never uses (default 0.1), so
+        # 0 is behavior-identical.
+        sd[f"{prefix}.1.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
         sd[f"{prefix}.{fc2_idx}.weight"] = np.asarray(p["fc2"]["w"])
         sd[f"{prefix}.{fc2_idx}.bias"] = np.asarray(p["fc2"]["b"])
 

@@ -110,6 +110,15 @@ def load_checkpoint(
         leaves = [arrays[k] for k in opt_keys]
         treedef = jax.tree_util.tree_structure(opt_state_template)
         template_leaves = jax.tree_util.tree_leaves(opt_state_template)
+        if not leaves:
+            # weights-only checkpoint (e.g. imported from a torch
+            # model.pth.tar via dic-convert): no optimizer state was ever
+            # saved — expected, not corruption
+            logger.info(
+                "checkpoint carries no optimizer state (weights-only): "
+                "optimizer starts fresh"
+            )
+            return meta["epoch"], params, state, None, meta
         if len(leaves) != len(template_leaves):
             # layout mismatch: params/state still restore; the optimizer
             # restarts fresh rather than crashing the resume. The logged

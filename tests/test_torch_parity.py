@@ -183,12 +183,10 @@ def test_export_roundtrip(inputs):
     sd = export_to_torch_state_dict(params, state)
 
     model2 = Net(_args(), torch.device("cpu"))
-    missing, unexpected = model2.load_state_dict(
-        {k: torch.tensor(v) for k, v in sd.items()}, strict=False
-    )
-    # only num_batches_tracked counters may be missing
-    assert all("num_batches_tracked" in k for k in missing)
-    assert not unexpected
+    # strict: the export carries EVERY key the reference model owns
+    # (num_batches_tracked included), so the reference's own restore path
+    # (pretrain_trainer.py:400, strict=True) accepts it unmodified
+    model2.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
     model2.eval()
     model.eval()
     with torch.no_grad():
