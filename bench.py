@@ -43,6 +43,35 @@ def make_batch(rng, b):
     return ob, mask, ts, ae, fv, fvm
 
 
+def _require_backend(timeout_s: float = 300.0):
+    """Fail FAST with a diagnostic if the accelerator backend cannot
+    initialize. The axon TPU tunnel can wedge (PJRT init blocks forever in
+    make_c_api_client waiting on a stale chip claim — seen 2026-08-17);
+    without this guard the bench hangs silently and the round records
+    nothing. Init runs in a daemon thread because the hung PJRT call is
+    not interruptible."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            "metric": "pretrain_throughput", "value": None,
+            "unit": "encounters/sec", "vs_baseline": None,
+            "error": f"backend init hung >{timeout_s:.0f}s — TPU tunnel "
+                     "wedged (PJRT make_c_api_client never returned)",
+        }))
+        sys.exit(1)
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache (same default dir as the CLIs,
     cli/common.py): the bench compiles ~8 programs per run (4 epoch
@@ -324,6 +353,7 @@ def _roofline(cost: dict) -> dict:
 
 
 def main():
+    _require_backend()
     _enable_compilation_cache()
     ours, cost = bench_ours()
     try:
