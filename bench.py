@@ -55,33 +55,44 @@ def _require_backend(timeout_s: float = 300.0):
     out = {}
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        out["devices"] = [str(d) for d in jax.devices()]
+            out["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — any init failure is terminal
+            out["error"] = f"{type(e).__name__}: {e}"
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    err = None
     if t.is_alive():
+        err = (f"backend init hung >{timeout_s:.0f}s — TPU tunnel wedged "
+               "(PJRT make_c_api_client never returned)")
+    elif "error" in out:
+        err = f"backend init failed: {out['error']}"
+    if err:
         print(json.dumps({
             "metric": "pretrain_throughput", "value": None,
-            "unit": "encounters/sec", "vs_baseline": None,
-            "error": f"backend init hung >{timeout_s:.0f}s — TPU tunnel "
-                     "wedged (PJRT make_c_api_client never returned)",
+            "unit": "encounters/sec", "vs_baseline": None, "error": err,
         }))
         sys.exit(1)
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache (same default dir as the CLIs,
-    cli/common.py): the bench compiles ~8 programs per run (4 epoch
-    variants x [execute + cost-analysis lower/compile] + 2 parity
-    forwards) at ~20-40 s each on the tunneled TPU; cached re-runs skip
-    all of it. Traced-fingerprint keyed, so a code change recompiles."""
-    import jax
+    """Persistent XLA compilation cache via the CLIs' own helper (same
+    default dir, so bench and pipeline runs share compiles): the bench
+    compiles ~8 programs per run (4 epoch variants x [execute +
+    cost-analysis lower/compile] + 2 parity forwards) at ~20-40 s each on
+    the tunneled TPU; cached re-runs skip all of it. Traced-fingerprint
+    keyed, so a code change recompiles; no-ops if the user pre-configured
+    a cache dir."""
+    from deep_interpolation_clustering_tpu import Config
+    from deep_interpolation_clustering_tpu.cli.common import (
+        enable_compilation_cache,
+    )
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/xlacache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compilation_cache(Config())
 
 
 def bench_ours(

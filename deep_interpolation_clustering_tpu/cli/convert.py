@@ -47,43 +47,53 @@ def _load_torch_file(path: str):
 
 
 def to_jax(src: str, dst: str) -> str:
-    """`model.pth.tar` -> weights-only `checkpoint.npz`."""
+    """`model.pth.tar` -> weights-only `checkpoint.npz`. The torch
+    optimizer's group LR rides along in the meta so a later `to_torch`
+    (or this framework's LR restore fallback) resumes at the saved rate
+    rather than the init default."""
     blob = _load_torch_file(src)
     sd = blob["state_dict"] if isinstance(blob, dict) and "state_dict" in blob else blob
     epoch = int(blob.get("epoch", 0)) if isinstance(blob, dict) else 0
+    extra: Dict = {"imported_from": os.path.abspath(src)}
+    try:
+        extra["lr"] = float(blob["optimizer"]["param_groups"][0]["lr"])
+    except (TypeError, KeyError, IndexError):
+        pass  # weights-only / exotic blob: no LR to carry
     params, state = import_torch_state_dict(sd)
-    ckpt.save_checkpoint(
-        dst, epoch, params, state, opt_state=None,
-        extra={"imported_from": os.path.abspath(src)},
-    )
+    ckpt.save_checkpoint(dst, epoch, params, state, opt_state=None, extra=extra)
     logger.info("to_jax: %s (epoch %d) -> %s", src, epoch, dst)
     return dst
 
 
-def _fresh_torch_opt_state(n_params: int, meta: Dict) -> Dict:
+def _fresh_torch_opt_state(n_params: int, meta: Dict, optimizer: str) -> Dict:
     """A state_dict a freshly constructed reference optimizer load_state_dicts
     cleanly: zero per-param state, one group with every param, hyperparams
-    mirroring utils.pytorch_optimizer's Adam defaults (lr from the
-    checkpoint meta when present)."""
-    return {
-        "state": {},
-        "param_groups": [{
-            "lr": float(meta.get("lr", 3e-3)),
-            "betas": (0.9, 0.999),
-            "eps": 1e-8,
-            "weight_decay": 4e-4,
-            "amsgrad": True,
-            "maximize": False,
-            "foreach": None,
-            "capturable": False,
-            "differentiable": False,
-            "fused": None,
-            "params": list(range(n_params)),
-        }],
-    }
+    mirroring utils.pytorch_optimizer for the chosen optimizer (torch's
+    load_state_dict REPLACES the group's hyperparams with these, so they
+    must carry the right keys per optimizer class — an Adam-shaped group
+    makes a restored SGD crash on its first step with KeyError 'momentum').
+    LR comes from the checkpoint meta when present."""
+    lr = float(meta.get("lr", 3e-3))
+    common = {"maximize": False, "foreach": None, "differentiable": False}
+    if optimizer == "adam":
+        hyper = {"lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
+                 "weight_decay": 4e-4, "amsgrad": True, "capturable": False,
+                 "fused": None, **common}
+    elif optimizer == "sgd":
+        hyper = {"lr": lr, "momentum": 0.9, "dampening": 0,
+                 "weight_decay": 4e-4, "nesterov": True, "fused": None,
+                 **common}
+    elif optimizer == "rmsprop":
+        hyper = {"lr": lr, "momentum": 0.9, "alpha": 0.99, "eps": 1e-8,
+                 "centered": False, "weight_decay": 4e-4, "capturable": False,
+                 **common}
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    return {"state": {},
+            "param_groups": [{**hyper, "params": list(range(n_params))}]}
 
 
-def to_torch(src: str, dst: str) -> str:
+def to_torch(src: str, dst: str, optimizer: str = "adam") -> str:
     """`checkpoint.npz` -> `model.pth.tar` (reference-restorable)."""
     import torch
 
@@ -95,7 +105,7 @@ def to_torch(src: str, dst: str) -> str:
     blob = {
         "epoch": int(epoch),
         "state_dict": sd,
-        "optimizer": _fresh_torch_opt_state(n_params, meta),
+        "optimizer": _fresh_torch_opt_state(n_params, meta, optimizer),
     }
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     torch.save(blob, dst)
@@ -103,20 +113,20 @@ def to_torch(src: str, dst: str) -> str:
     return dst
 
 
-def _convert_tree(direction: str, src: str, dst: str) -> int:
+def _convert_tree(direction: str, src: str, dst: str, optimizer: str) -> int:
     """Weight-root directory mode: convert every `<metric>/` checkpoint."""
-    src_name, dst_name, fn = (
-        (TORCH_NAME, ckpt.CKPT_NAME, to_jax) if direction == "to_jax"
-        else (ckpt.CKPT_NAME, TORCH_NAME, to_torch)
-    )
     n = 0
     for metric in sorted(os.listdir(src)):
-        f = os.path.join(src, metric, src_name)
-        if os.path.isfile(f):
-            fn(f, os.path.join(dst, metric, dst_name))
-            n += 1
-    if n == 0:
-        logger.error("no %s found under %s/*/", src_name, src)
+        if direction == "to_jax":
+            f = os.path.join(src, metric, TORCH_NAME)
+            if os.path.isfile(f):
+                to_jax(f, os.path.join(dst, metric, ckpt.CKPT_NAME))
+                n += 1
+        else:
+            f = os.path.join(src, metric, ckpt.CKPT_NAME)
+            if os.path.isfile(f):
+                to_torch(f, os.path.join(dst, metric, TORCH_NAME), optimizer)
+                n += 1
     return n
 
 
@@ -127,11 +137,20 @@ def main(argv=None):
                         help="checkpoint file or weight root directory")
     parser.add_argument("--dst", required=True,
                         help="output file or weight root directory")
+    parser.add_argument("--optimizer", default="adam",
+                        choices=["adam", "sgd", "rmsprop"],
+                        help="to_torch: optimizer class the reference run "
+                             "will restore into (shapes the synthesized "
+                             "optimizer state's hyperparameter keys)")
     args = parser.parse_args(argv)
     if os.path.isdir(args.src):
-        _convert_tree(args.direction, args.src, args.dst)
+        n = _convert_tree(args.direction, args.src, args.dst, args.optimizer)
+        if n == 0:
+            parser.error(f"no checkpoints found under {args.src}/*/")
+    elif args.direction == "to_jax":
+        to_jax(args.src, args.dst)
     else:
-        (to_jax if args.direction == "to_jax" else to_torch)(args.src, args.dst)
+        to_torch(args.src, args.dst, args.optimizer)
 
 
 if __name__ == "__main__":

@@ -211,8 +211,10 @@ class Config:
     # bit width of the step's big (B, C, T) random draws (augmentation
     # normals, fake-select keys, fake-noise uniforms — together ~92% of the
     # step's ~3.3M threefry words). 16 halves the threefry bit-generation
-    # while keeping its determinism guarantees, and the selection stays
-    # EXACTLY uniform (position tie-break, ops/pallas_select.py); but
+    # while keeping its determinism guarantees; the fake-select subset
+    # gains a ~T/2^16-per-row early-position tie bias (~0.5% of rows at
+    # T=354 — see data/loader.py; the 32-bit path carries the same bias
+    # at ~32x rarer). But
     # MEASURED WALL-NEUTRAL on the real chip (benchmarks/drawbits_ab.py,
     # interleaved min-of-reps at B=256/T=354: 703.4 vs 702.3 us/step, an
     # earlier rep 663.7 vs 645.9 — inside noise) because the draws already

@@ -143,12 +143,17 @@ def make_fake_ob(
     explicit.
 
     `draw_bits=16` (Config.rng_draw_bits) halves the threefry work of the
-    two (B, C, T) draws: 16 random key bits still pick a uniform k-subset
-    (ties broken by position — the pallas_select exchangeability argument
-    holds for ANY iid score distribution), and the noise keeps 10-bit-
-    mantissa resolution over the scaled range. Changes the drawn stream,
-    none of the contracts (same fn on every path/backend). Measured
-    wall-neutral on the chip — see the Config.rng_draw_bits comment.
+    two (B, C, T) draws: 16 random key bits pick a k-subset that is
+    uniform except when the random parts tie across the k-th/(k+1)-th
+    boundary, where the earlier slot deterministically wins — an
+    early-position bias in ~T/2^16 of rows (~0.5% at T=354; the 32-bit
+    path's 21 random bits make the same bias ~32x rarer, see
+    ops/pallas_select.py). Irrelevant for adversarial fake generation but
+    stated: the reference's np.random.choice is exactly uniform. The
+    noise keeps 10-bit-mantissa resolution over the scaled range. Changes
+    the drawn stream, none of the cross-path contracts (same fn on every
+    path/backend). Measured wall-neutral on the chip — see the
+    Config.rng_draw_bits comment.
     """
     b, c, t = ob.shape
     k_sel, k_noise = jax.random.split(key)

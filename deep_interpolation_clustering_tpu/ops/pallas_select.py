@@ -14,8 +14,13 @@ This module computes the same selection without sorting:
     slot POSITION packed into the low bits — keys are unique within a row,
     so "the k smallest keys" needs no tie handling, and breaking random
     ties by position order is distribution-identical to the previous
-    cumulative tie-fill (conditioned on the score multiset, positions are
-    exchangeable, so any fixed rule picks a uniform k-subset).
+    cumulative tie-fill (same fixed rule). The subset deviates from exact
+    uniformity only when the random parts tie across the k-th/(k+1)-th
+    boundary — there the earlier slot deterministically wins, an
+    early-position bias in ~T/2^21 of rows (~2e-4 at T=354; the
+    reference's np.random.choice is exactly uniform). Documented, not
+    load-bearing: fake samples only need to be adversarial, and every
+    backend/path computes the identical mask.
   * The k-th smallest key per row comes from a 30-pass one-bit-per-pass
     MSD radix select (each pass fixes the next answer bit with a single
     count-reduction — reduction-minimal, see `_radix_kth`). In plain XLA

@@ -156,6 +156,14 @@ class Trainer:
     def _epoch_key(self, epoch: int, salt: int = 0):
         return jax.random.fold_in(jax.random.fold_in(self.base_key, epoch), salt)
 
+    def _can_fuse(self, ds: ArrayDataset) -> bool:
+        """Single source of truth for the fused-epoch precondition — used
+        by both the per-epoch path and train()'s eval_interval defer gate,
+        which must never diverge (the bit-identity contract between the
+        two cadences rides on them dispatching the same program)."""
+        cfg = self.cfg
+        return cfg.device_data and cfg.fused_epoch and len(ds) >= cfg.batch_size
+
     # ------------------------------------------------------------- train
     def train(self) -> Dict[str, float]:
         if self.cfg.restore:
@@ -187,12 +195,7 @@ class Trainer:
                     or self.epoch % cfg.eval_interval == 0
                     or self.epoch + 1 >= cfg.max_epochs
                 )
-                defer = (
-                    cfg.eval_interval > 1
-                    and cfg.device_data
-                    and cfg.fused_epoch
-                    and len(train_ds) >= cfg.batch_size
-                )
+                defer = cfg.eval_interval > 1 and self._can_fuse(train_ds)
                 if defer:
                     n_batches = train_ds.num_batches(
                         cfg.batch_size, drop_last=self.n_shards > 1
@@ -237,11 +240,7 @@ class Trainer:
         shuffle_rng = np.random.RandomState(cfg.seed + self.epoch)
         n_batches = ds.num_batches(cfg.batch_size, drop_last=self.n_shards > 1)
 
-        if (
-            cfg.device_data
-            and cfg.fused_epoch
-            and len(ds) >= cfg.batch_size
-        ):
+        if self._can_fuse(ds):
             return self._train_one_epoch_fused(
                 ds, denoise, epoch_key, shuffle_rng, n_batches
             )

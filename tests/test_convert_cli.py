@@ -55,11 +55,11 @@ def _planes(rng):
     return np.concatenate([ob, mask, ts, ae], axis=1)
 
 
-def _save_reference_tar(model, path, epoch=7):
+def _save_reference_tar(model, path, epoch=7, lr=3e-3):
     """Write the tar exactly the way the reference does (utils.py:141-145)."""
     import torch.optim as optim
 
-    opt = optim.Adam(model.parameters(), lr=3e-3, weight_decay=4e-4, amsgrad=True)
+    opt = optim.Adam(model.parameters(), lr=lr, weight_decay=4e-4, amsgrad=True)
     state = {"epoch": epoch, "state_dict": model.state_dict(),
              "optimizer": opt.state_dict()}
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -71,7 +71,7 @@ def test_to_jax_forward_parity(tmp_path, rng):
 
     model = Net(_args(), torch.device("cpu"))
     tar = str(tmp_path / "weight" / "ae_mse" / "model.pth.tar")
-    _save_reference_tar(model, tar, epoch=7)
+    _save_reference_tar(model, tar, epoch=7, lr=2e-4)
 
     npz = str(tmp_path / "out" / "checkpoint.npz")
     convert_main(["to_jax", "--src", tar, "--dst", npz])
@@ -79,6 +79,9 @@ def test_to_jax_forward_parity(tmp_path, rng):
     epoch, params, state, opt_state, meta = ckpt.load_checkpoint(npz)
     assert epoch == 7 and opt_state is None
     assert meta["imported_from"].endswith("model.pth.tar")
+    # the torch optimizer's LR rides along so resumes (either side)
+    # continue at the saved rate, not the init default
+    assert meta["lr"] == pytest.approx(2e-4)
 
     x, fake_x = _planes(rng), _planes(rng)
     perm = rng.permutation(2 * B)
@@ -134,6 +137,40 @@ def test_to_torch_reference_restores(tmp_path, rng):
     before = model.sci.kernel.detach().clone()
     optimizer.step()
     assert not torch.equal(before, model.sci.kernel)
+
+
+@pytest.mark.parametrize("opt_name,torch_name", [("sgd", "SGD"),
+                                                 ("rmsprop", "RMSprop")])
+def test_to_torch_non_adam_optimizers(tmp_path, rng, opt_name, torch_name):
+    """--optimizer sgd/rmsprop: the synthesized state carries that class's
+    hyperparameter keys, so the reference restore's load_state_dict AND the
+    first optimizer.step() work (an Adam-shaped group loads silently, then
+    crashes SGD with KeyError 'momentum' on step)."""
+    from pretrain_interp import Net
+    from utils import pytorch_optimizer  # reference, read-only
+
+    src_model = Net(_args(), torch.device("cpu"))
+    from deep_interpolation_clustering_tpu.compat import import_torch_state_dict
+
+    params, state = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in src_model.state_dict().items()}
+    )
+    npz = str(tmp_path / "checkpoint.npz")
+    ckpt.save_checkpoint(npz, 2, params, state)
+    tar = str(tmp_path / "model.pth.tar")
+    convert_main(["to_torch", "--src", npz, "--dst", tar,
+                  "--optimizer", opt_name])
+
+    checkpoint = torch.load(tar, weights_only=False)
+    model = Net(_args(), torch.device("cpu"))
+    model.load_state_dict(checkpoint["state_dict"])
+    optimizer = pytorch_optimizer(model, torch_name, 3e-3, 4e-4)
+    optimizer.load_state_dict(checkpoint["optimizer"])
+    x, fake_x = _planes(rng), _planes(rng)
+    _, rec, _ = model(torch.tensor(x), torch.tensor(fake_x),
+                      torch.tensor(rng.permutation(2 * B)), None)
+    rec.square().mean().backward()
+    optimizer.step()  # the KeyError repro point
 
 
 def test_directory_mode_roundtrip(tmp_path):
