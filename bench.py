@@ -384,15 +384,19 @@ def main():
     # backend/sharding RNG determinism for the hardware RNG). `tuned` keeps
     # the parity-gated "high" matmuls — every numeric contract that matters
     # for eval parity still holds; `peak` adds bf16 matmuls on top.
+    # single source of truth: these kwargs dicts ARE both the bench_ours
+    # arguments and the *_config records in the JSON line — hand-copied
+    # literals drifted once already
+    tuned_kwargs = {"batch": BATCH, "matmul_precision": "high",
+                    "epoch_scan_unroll": 4, "prng_impl": "rbg"}
+    peak_kwargs = {**tuned_kwargs, "matmul_precision": "default"}
     try:
-        tuned, tuned_cost = bench_ours(epoch_scan_unroll=4, prng_impl="rbg")
+        tuned, tuned_cost = bench_ours(**tuned_kwargs)
     except Exception as e:
         print(f"tuned-config bench unavailable: {e}", file=sys.stderr)
         tuned, tuned_cost = None, {}
     try:
-        peak, peak_cost = bench_ours(
-            matmul_precision="default", epoch_scan_unroll=4, prng_impl="rbg"
-        )
+        peak, peak_cost = bench_ours(**peak_kwargs)
     except Exception as e:
         print(f"peak-config bench unavailable: {e}", file=sys.stderr)
         peak, peak_cost = None, {}
@@ -423,16 +427,9 @@ def main():
         ],
         "dec_throughput": round(dec, 1) if dec is not None else None,
         "tuned_throughput": round(tuned, 1) if tuned is not None else None,
-        "tuned_config": {
-            "batch": BATCH, "num_timestamps": T, "matmul_precision": "high",
-            "epoch_scan_unroll": 4, "prng_impl": "rbg",
-        },
+        "tuned_config": {"num_timestamps": T, **tuned_kwargs},
         "peak_throughput": round(peak, 1) if peak is not None else None,
-        "peak_config": {
-            "batch": BATCH, "num_timestamps": T,
-            "matmul_precision": "default", "epoch_scan_unroll": 4,
-            "prng_impl": "rbg",
-        },
+        "peak_config": {"num_timestamps": T, **peak_kwargs},
         "pretrain_roofline": _roofline(cost),
         "tuned_roofline": _roofline(tuned_cost),
         "peak_roofline": _roofline(peak_cost),

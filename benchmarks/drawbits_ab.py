@@ -17,59 +17,12 @@ import argparse
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from unroll_sweep import make_batch  # noqa: E402  (same synthetic shapes)
-
-
-def build(cfg, n_batches=20):
-    import jax
-    import jax.numpy as jnp
-
-    from deep_interpolation_clustering_tpu.models import init_net
-    from deep_interpolation_clustering_tpu.train import make_optimizer
-    from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
-
-    B, T = cfg.batch_size, cfg.num_timestamps
-    n = B * n_batches
-    rng = np.random.RandomState(0)
-    ob, mask, ts, ae, fv, fvm = make_batch(
-        rng, n, cfg.num_variables, T, cfg.hours_from_admission
-    )
-    data = {
-        "ob": jnp.asarray(ob), "padding_mask": jnp.asarray(mask),
-        "timestamp": jnp.asarray(ts), "ae_mask": jnp.asarray(ae),
-        "future_vital": jnp.asarray(fv), "future_vital_mask": jnp.asarray(fvm),
-    }
-    params, state = init_net(jax.random.key(1, impl=cfg.prng_impl), cfg)
-    optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
-    epoch_fn = make_train_epoch(cfg, optimizer, denoise=False)
-    idx = jnp.arange(n).reshape(n_batches, B)
-    key = jax.random.key(2, impl=cfg.prng_impl)
-
-    st = {"params": params, "state": state, "opt": opt_state}
-
-    def run(ncalls, base):
-        import jax as _jax
-
-        t0 = time.perf_counter()
-        losses = None
-        for i in range(ncalls):
-            st["params"], st["state"], st["opt"], losses = epoch_fn(
-                st["params"], st["state"], st["opt"], data, idx,
-                _jax.random.fold_in(key, base + i),
-            )
-        float(_jax.device_get(losses["loss"][-1]))  # hard sync
-        return time.perf_counter() - t0
-
-    return run
+from _harness import make_runner  # noqa: E402  (shared slope harness)
 
 
 def main():
@@ -89,8 +42,8 @@ def main():
         prng_impl=args.prng, matmul_precision=args.precision,
     )
     arms = {
-        "bits32": build(Config(**base, rng_draw_bits=32), n_batches),
-        "bits16": build(Config(**base, rng_draw_bits=16), n_batches),
+        "bits32": make_runner(Config(**base, rng_draw_bits=32), n_batches),
+        "bits16": make_runner(Config(**base, rng_draw_bits=16), n_batches),
     }
     for name, run in arms.items():
         run(2, 0)  # compile + warm

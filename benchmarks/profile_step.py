@@ -39,6 +39,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 import bench  # noqa: E402
+from _harness import time_epoch  # noqa: E402, F401  (shared slope harness)
 
 
 def jitter(key, arr):
@@ -185,57 +186,6 @@ def time_eval_epoch(cfg, n_batches=20, epochs=8):
         return time.perf_counter() - t0
 
     run(1, 50)
-    t_short = run(2, 100)
-    t_long = run(epochs + 2, 200)
-    return (t_long - t_short) / epochs / n_batches
-
-
-def time_epoch(cfg, n_batches=20, epochs=8):
-    """sec/step of the REAL fused `make_train_epoch` program over an
-    HBM-resident synthetic cohort — the same path bench_ours times, shrunk
-    to one (warmup + timed) pair per config."""
-    import jax
-    import jax.numpy as jnp
-
-    from deep_interpolation_clustering_tpu.models import init_net
-    from deep_interpolation_clustering_tpu.train import make_optimizer
-    from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
-
-    B = cfg.batch_size
-    n = B * n_batches
-    rng = np.random.RandomState(0)
-    ob, mask, ts, ae, fv, fvm = bench.make_batch(rng, n)
-    data = {
-        "ob": jnp.asarray(ob), "padding_mask": jnp.asarray(mask),
-        "timestamp": jnp.asarray(ts), "ae_mask": jnp.asarray(ae),
-    }
-    if cfg.aux_tasks:
-        data["future_vital"] = jnp.asarray(fv)
-        data["future_vital_mask"] = jnp.asarray(fvm)
-    params, state = init_net(jax.random.PRNGKey(1), cfg)
-    optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
-    epoch_fn = make_train_epoch(cfg, optimizer, denoise=False)
-    idx = jnp.arange(n).reshape(n_batches, B)
-    key = jax.random.key(2, impl=cfg.prng_impl)  # impl rides the key
-
-    # Sync methodology (same as bench.py): block_until_ready can return
-    # before remote execution finishes on the tunneled backend; only a
-    # device_get truly synchronizes. Two run lengths, slope cancels the
-    # constant dispatch/sync overhead.
-    def run(ncalls, base):
-        nonlocal params, state, opt_state
-        t0 = time.perf_counter()
-        losses = None
-        for i in range(ncalls):
-            params, state, opt_state, losses = epoch_fn(
-                params, state, opt_state, data, idx,
-                jax.random.fold_in(key, base + i),
-            )
-        float(jax.device_get(losses["loss"][-1]))  # hard sync
-        return time.perf_counter() - t0
-
-    run(2, 0)  # compile + warm
     t_short = run(2, 100)
     t_long = run(epochs + 2, 200)
     return (t_long - t_short) / epochs / n_batches

@@ -14,71 +14,12 @@ import argparse
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-
-def make_batch(rng, b, c, t, hours):
-    counts = rng.randint(max(2, t // 3), t + 1, size=(b, c))
-    mask = (np.arange(t)[None, None, :] < counts[:, :, None]).astype(np.float32)
-    ob = (rng.rand(b, c, t).astype(np.float32) * 5.0 - 2.5) * mask
-    ts = np.sort(rng.rand(b, c, t).astype(np.float32) * hours, axis=-1) * mask
-    ae = mask * (rng.rand(b, c, t) > 0.2).astype(np.float32)
-    fv = rng.rand(b, c).astype(np.float32)
-    fvm = (rng.rand(b, c) < 0.9).astype(np.float32)
-    return ob, mask, ts, ae, fv, fvm
-
-
-def time_epoch(cfg, n_batches=20, epochs=8):
-    """min sec/step of the real fused `make_train_epoch` program (same
-    two-length slope sync methodology as bench.py — see its comment on the
-    tunneled backend)."""
-    import jax
-    import jax.numpy as jnp
-
-    from deep_interpolation_clustering_tpu.models import init_net
-    from deep_interpolation_clustering_tpu.train import make_optimizer
-    from deep_interpolation_clustering_tpu.train.steps import make_train_epoch
-
-    B, T = cfg.batch_size, cfg.num_timestamps
-    n = B * n_batches
-    rng = np.random.RandomState(0)
-    ob, mask, ts, ae, fv, fvm = make_batch(
-        rng, n, cfg.num_variables, T, cfg.hours_from_admission
-    )
-    data = {
-        "ob": jnp.asarray(ob), "padding_mask": jnp.asarray(mask),
-        "timestamp": jnp.asarray(ts), "ae_mask": jnp.asarray(ae),
-        "future_vital": jnp.asarray(fv), "future_vital_mask": jnp.asarray(fvm),
-    }
-    params, state = init_net(jax.random.PRNGKey(1), cfg)
-    optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
-    epoch_fn = make_train_epoch(cfg, optimizer, denoise=False)
-    idx = jnp.arange(n).reshape(n_batches, B)
-    key = jax.random.PRNGKey(2)
-
-    def run(ncalls, base):
-        nonlocal params, state, opt_state
-        t0 = time.perf_counter()
-        losses = None
-        for i in range(ncalls):
-            params, state, opt_state, losses = epoch_fn(
-                params, state, opt_state, data, idx,
-                jax.random.fold_in(key, base + i),
-            )
-        float(jax.device_get(losses["loss"][-1]))  # hard sync
-        return time.perf_counter() - t0
-
-    run(2, 0)  # compile + warm
-    t_short = run(2, 100)
-    t_long = run(epochs + 2, 200)
-    return (t_long - t_short) / epochs / n_batches
+from _harness import make_batch, time_epoch  # noqa: E402, F401  (re-exported)
 
 
 def main():

@@ -153,14 +153,21 @@ class KSelection:
         cfg = self.cfg
         names = list(internal_metric_names or cfg.internal_metrics)
         csv_path = os.path.join(self.out_path, f"gap_sts_v{version}.csv")
+        data = np.asarray(data, np.float32)
+        fp = self._gap_fingerprint(data, version, seed, names)
         if os.path.exists(csv_path) and not cfg.overwrite:
             # reuse the previous sweep's table (reference p2:281-287) —
-            # at 100k scale recomputing is minutes of k-means per re-run
-            logger.info("loading previous %s (overwrite=False)", csv_path)
-            rows = _read_gap_csv(csv_path)
-            return self._gap_summary(rows, names, csv_path, plot, write_csv=False)
+            # at 100k scale recomputing is minutes of k-means per re-run.
+            # Unlike the reference's existence-only gate, the sidecar
+            # fingerprint ties the table to the exact latents + sweep
+            # config that produced it: stale or damaged tables recompute
+            # instead of silently steering K selection.
+            rows = self._reload_gap_csv(csv_path, fp)
+            if rows is not None:
+                logger.info("loading previous %s (overwrite=False)", csv_path)
+                return self._gap_summary(rows, names, csv_path, plot,
+                                         write_csv=False)
         inertia = inertia_v1 if version == 1 else inertia_v2
-        data = np.asarray(data, np.float32)
         lo, rng_width = float(data.min()), float(data.max() - data.min())
         rng = np.random.RandomState(seed)
         rows: List[Dict] = []
@@ -200,7 +207,52 @@ class KSelection:
                 k, row["gap"], ref_mean, act, ref_s,
             )
             rows.append(row)
-        return self._gap_summary(rows, names, csv_path, plot)
+        out = self._gap_summary(rows, names, csv_path, plot)
+        with open(csv_path + ".fp", "w") as f:
+            f.write(fp)
+        return out
+
+    def _gap_fingerprint(
+        self, data: np.ndarray, version: int, seed: int, names: Sequence[str]
+    ) -> str:
+        """Content hash of everything that determines the gap table: the
+        latents themselves plus every sweep parameter. ~0.1 s even for
+        100k×256 latents — negligible next to the k-means it guards."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(data).tobytes())
+        h.update(repr((data.shape, version, seed, tuple(names), self.cfg.k_max,
+                       self.cfg.n_init, self.cfg.gap_b)).encode())
+        return h.hexdigest()
+
+    def _reload_gap_csv(self, csv_path: str, fp: str) -> Optional[List[Dict]]:
+        """Reload iff the sidecar fingerprint matches and the table parses
+        to at least one row; otherwise log why and return None (recompute)."""
+        fp_path = csv_path + ".fp"
+        try:
+            with open(fp_path) as f:
+                saved = f.read().strip()
+        except OSError:
+            saved = None
+        if saved != fp:
+            logger.warning(
+                "existing %s %s the current data/config — recomputing "
+                "(pass --overwrite to silence this path entirely)",
+                csv_path,
+                "has no fingerprint sidecar for" if saved is None
+                else "does not match",
+            )
+            return None
+        try:
+            rows = _read_gap_csv(csv_path)
+        except (ValueError, KeyError, OSError) as e:
+            logger.warning("failed to reload %s (%s) — recomputing", csv_path, e)
+            return None
+        if not rows:
+            logger.warning("%s is empty — recomputing", csv_path)
+            return None
+        return rows
 
     def _gap_summary(
         self,
@@ -226,10 +278,14 @@ class KSelection:
         opt_k_argmax = max(rows, key=lambda r: r["gap"])["k"]
 
         if write_csv:
-            with open(csv_path, "w", newline="") as f:
+            # atomic: a process killed mid-write must not leave a partial
+            # table for a later reuse to trip over
+            tmp = csv_path + ".tmp"
+            with open(tmp, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
                 w.writeheader()
                 w.writerows(rows)
+            os.replace(tmp, csv_path)
         version = os.path.basename(csv_path).rsplit("_v", 1)[-1].split(".")[0]
         if plot:
             def draw(plt):

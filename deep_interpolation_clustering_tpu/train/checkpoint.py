@@ -125,8 +125,11 @@ def load_checkpoint(
             # signature distinguishes the known legacy layout (pre-flat-
             # vector: one moment pair per param leaf, so MORE leaves than
             # the template) from a truncated/corrupted blob (fewer).
+            # np.shape reads the .shape attribute only — np.asarray on a
+            # device-resident leaf would D2H-transfer megabytes of moment
+            # vectors over the tunnel just to log a warning
             sig = lambda ls: "[" + ", ".join(  # noqa: E731
-                str(tuple(np.asarray(l).shape)) for l in ls[:4]
+                str(np.shape(l)) for l in ls[:4]
             ) + (", ..." if len(ls) > 4 else "") + "]"
             logger.warning(
                 "optimizer state layout mismatch — checkpoint %d leaves %s "
@@ -202,8 +205,16 @@ class FlagDict:
         """JSON-serializable snapshot for the checkpoint meta blob. The
         reference loses this on resume (utils.py:126-138 re-creates the
         flag dict at inf), so a resumed run's first — typically worse —
-        epoch overwrites every best checkpoint; persisting it fixes that."""
-        return {"best": dict(self.best), "best_epoch": dict(self.best_epoch)}
+        epoch overwrites every best checkpoint; persisting it fixes that.
+        Never-improved metrics (still inf) serialize as None: json.dumps
+        would emit the non-RFC token `Infinity`, breaking strict JSON
+        consumers of the meta blob."""
+        return {
+            "best": {
+                m: (None if v == float("inf") else v) for m, v in self.best.items()
+            },
+            "best_epoch": dict(self.best_epoch),
+        }
 
     def merge_state(self, d: Dict) -> None:
         """Min-merge a saved snapshot into the live flags. Each checkpoint
@@ -213,6 +224,8 @@ class FlagDict:
         best = d.get("best", {})
         best_epoch = d.get("best_epoch", {})
         for m, v in best.items():
+            if v is None:  # serialized inf: that metric never improved
+                continue
             if m in self.best and float(v) <= self.best[m]:
                 self.best[m] = float(v)
                 self.best_epoch[m] = int(best_epoch.get(m, self.best_epoch[m]))

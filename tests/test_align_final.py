@@ -187,6 +187,34 @@ def test_final_labeler_consensus_path(tmp_path, rng):
         )
 
 
+def test_gap_reuse_fingerprint_guard(tmp_path, rng):
+    """The gap-CSV reuse gate is fingerprinted: changed latents recompute
+    (the reference's existence-only gate silently returns the stale table,
+    p2:281-287), and a truncated table recomputes instead of crashing."""
+    cfg = Config(k_max=4, n_init=2, gap_b=2)
+    x = rng.randn(60, 8).astype(np.float32)
+    sel = KSelection(cfg, str(tmp_path))
+    gap = sel.gap_statistic(x, version=1, plot=False)
+    mtime = os.stat(gap["csv"]).st_mtime_ns
+    # same latents + config: reused untouched
+    gap2 = sel.gap_statistic(x, version=1, plot=False)
+    assert os.stat(gap2["csv"]).st_mtime_ns == mtime
+    # different latents: fingerprint mismatch -> recompute + rewrite
+    y = (x + 1.0).astype(np.float32)
+    gap3 = sel.gap_statistic(y, version=1, plot=False)
+    mtime3 = os.stat(gap3["csv"]).st_mtime_ns
+    assert mtime3 != mtime
+    # header-only table (killed mid-pipeline): empty-guard recomputes
+    with open(gap3["csv"], "w", newline="") as f:
+        f.write("k,gap\n")
+    gap4 = sel.gap_statistic(y, version=1, plot=False)
+    assert gap4["rows"] and [r["k"] for r in gap4["rows"]] == [2, 3, 4]
+    # a fingerprint sidecar from an older run layout (absent) also recomputes
+    os.remove(gap4["csv"] + ".fp")
+    gap5 = sel.gap_statistic(y, version=1, plot=False)
+    assert gap5["rows"] == gap4["rows"]
+
+
 def test_kselection_elbow_and_gap(tmp_path, rng):
     cfg = Config(k_max=6, n_init=3, gap_b=3)
     d, _ = _fake_dump(rng, 200, 4)
