@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from ..cluster import DbscanExplorer, KSelection, OpticsExplorer, load_feature_dumps
+from ..parallel import make_mesh
 from ..utils import logger
 from .common import build_parser, config_from_args
 
@@ -24,6 +25,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     exp_path = os.path.join(cfg.results_path, args.stage)
+    # same data_parallel semantics as the trainers: the mesh row-shards the
+    # latents so the K-sweep's k-means fits run data-parallel (KSelection)
+    mesh = make_mesh(max(cfg.data_parallel, 0)) if cfg.data_parallel else None
 
     for metric in args.restore_metrics:
         feat_path = os.path.join(exp_path, "out_feat", metric)
@@ -32,7 +36,9 @@ def main(argv=None):
         train_h = data["training"]["hidden"]
         valid_h = data["validation"]["hidden"]
         if args.cluster_algo == "kmeans":
-            out = KSelection(cfg, out_path).select_opt_k(train_h, valid_h, seed=cfg.seed)
+            out = KSelection(cfg, out_path, mesh=mesh).select_opt_k(
+                train_h, valid_h, seed=cfg.seed
+            )
             for method, r in out.items():
                 logger.info(
                     "[%s] %s -> %s", metric, method,

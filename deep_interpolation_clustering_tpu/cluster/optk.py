@@ -92,12 +92,39 @@ def _relabel_legend(ax):
 
 
 class KSelection:
-    """KMeans-based K selection (reference `KM`, p2:226-410)."""
+    """KMeans-based K selection (reference `KM`, p2:226-410).
 
-    def __init__(self, cfg: Config, out_path: str):
+    `mesh`: optional `jax.sharding.Mesh` — latents are row-sharded over its
+    "data" axis and GSPMD parallelizes every jitted fit (distance matmuls,
+    Lloyd segment-sums) across the chips with XLA-inserted collectives; no
+    algorithm changes (verified label-identical to single-device on the
+    8-virtual-device CPU mesh, tests/test_align_final.py). The reference
+    round-trips to host sklearn instead (p2:260-263)."""
+
+    def __init__(self, cfg: Config, out_path: str, mesh=None):
         self.cfg = cfg
         self.out_path = os.path.join(out_path, "plot")
+        self.mesh = mesh
         os.makedirs(self.out_path, exist_ok=True)
+
+    def _put_rows(self, x: np.ndarray):
+        """Row-shard latents over the mesh; pass through when there is no
+        mesh or the row count does not divide it (sharding requires even
+        shards — correctness never depends on this placement)."""
+        if self.mesh is None:
+            return x
+        n_dev = self.mesh.devices.size
+        if len(x) % n_dev:
+            logger.warning(
+                "%d rows not divisible by %d devices: running unsharded",
+                len(x), n_dev,
+            )
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            jax.numpy.asarray(x), NamedSharding(self.mesh, P("data", None))
+        )
 
     # ------------------------------------------------------------ elbow
     def elbow(
@@ -110,6 +137,8 @@ class KSelection:
         """Distortion (mean min distance to center) for K=2..k_max on train
         and valid (reference p2:254-274), plus the Kneedle elbow."""
         ks = list(range(2, self.cfg.k_max + 1))
+        train_feat = self._put_rows(np.asarray(train_feat, np.float32))
+        valid_feat = self._put_rows(np.asarray(valid_feat, np.float32))
         train_d, valid_d = [], []
         for k in ks:
             logger.info("elbow: running K=%d", k)
@@ -169,6 +198,7 @@ class KSelection:
                                          write_csv=False)
         inertia = inertia_v1 if version == 1 else inertia_v2
         lo, rng_width = float(data.min()), float(data.max() - data.min())
+        data_dev = self._put_rows(data)  # after the fingerprint: it hashes host bytes
         rng = np.random.RandomState(seed)
         rows: List[Dict] = []
         ks = list(range(2, cfg.k_max + 1))
@@ -182,7 +212,7 @@ class KSelection:
             logs = []
             ref_k = jax.random.fold_in(ref_stream, k)
             for b in range(cfg.gap_b):
-                ref = (
+                ref = self._put_rows(
                     rng.random_sample(data.shape).astype(np.float32) * rng_width + lo
                 )
                 r = kmeans_fit(
@@ -191,8 +221,10 @@ class KSelection:
                 logs.append(np.log(float(inertia(ref, r.labels, k))))
             ref_mean, ref_std = float(np.mean(logs)), float(np.std(logs))
             ref_s = float(np.sqrt(1 + 1 / cfg.gap_b) * ref_std)
-            r = kmeans_fit(jax.random.fold_in(data_stream, k), data, k, n_init=cfg.n_init)
-            act = float(np.log(float(inertia(data, r.labels, k))))
+            r = kmeans_fit(
+                jax.random.fold_in(data_stream, k), data_dev, k, n_init=cfg.n_init
+            )
+            act = float(np.log(float(inertia(data_dev, r.labels, k))))
             row = {
                 "k": k,
                 "gap": ref_mean - act,

@@ -187,6 +187,37 @@ def test_final_labeler_consensus_path(tmp_path, rng):
         )
 
 
+def test_kselection_on_mesh_matches_single_device(tmp_path, rng):
+    """Row-sharding the latents over the 8-device data mesh (GSPMD) must
+    reproduce the single-device K-selection: same labels drive the fits,
+    so gap/elbow land within float-reduction noise and every K decision
+    is identical."""
+    from deep_interpolation_clustering_tpu.parallel import make_mesh
+
+    cfg = Config(k_max=5, n_init=3, gap_b=2)
+    d, _ = _fake_dump(rng, 200, 4)
+    v, _ = _fake_dump(rng, 80, 4)
+    single = KSelection(cfg, str(tmp_path / "single"))
+    meshed = KSelection(cfg, str(tmp_path / "meshed"), mesh=make_mesh(8))
+
+    e1 = single.elbow(d["hidden"], v["hidden"], plot=False)
+    e2 = meshed.elbow(d["hidden"], v["hidden"], plot=False)
+    assert e1["elbow_k"] == e2["elbow_k"]
+    np.testing.assert_allclose(e1["train"], e2["train"], rtol=1e-4)
+
+    g1 = single.gap_statistic(d["hidden"], version=1, plot=False)
+    g2 = meshed.gap_statistic(d["hidden"], version=1, plot=False)
+    assert g1["opt_k"] == g2["opt_k"]
+    assert g1["opt_k_argmax"] == g2["opt_k_argmax"]
+    for r1, r2 in zip(g1["rows"], g2["rows"]):
+        assert r1["k"] == r2["k"]
+        np.testing.assert_allclose(r1["gap"], r2["gap"], atol=1e-4)
+
+    # non-divisible rows fall back to unsharded placement, still correct
+    g3 = meshed.gap_statistic(d["hidden"][:199], version=1, plot=False)
+    assert g3["rows"][0]["k"] == 2
+
+
 def test_gap_reuse_fingerprint_guard(tmp_path, rng):
     """The gap-CSV reuse gate is fingerprinted: changed latents recompute
     (the reference's existence-only gate silently returns the stale table,
