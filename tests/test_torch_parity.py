@@ -375,3 +375,51 @@ def test_triplet_branch_parity(inputs, rng):
     np.testing.assert_allclose(
         float(ours["triplet"]), float(t_trip["triplet"]), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("variant", [
+    # (c, t, r, hours, scale): sweep the geometry/scaling space the fixed
+    # harness above never leaves (C=6, T=30, R=6, scale=5)
+    dict(c=6, t=17, r=4, hours=12.0, scale=0),
+    dict(c=3, t=45, r=8, hours=6.0, scale=5),
+    dict(c=6, t=64, r=6, hours=24.0, scale=2),
+    dict(c=2, t=9, r=3, hours=6.0, scale=5),
+])
+def test_forward_parity_config_fuzz(rng, variant):
+    """Parity must hold across the CONFIG SPACE, not just the defaults:
+    same weights -> same outputs at 1e-5 for varied channel counts,
+    sequence lengths, RBF reference points, admission windows, and input
+    scaling (scale=0 disables the affine entirely — a distinct code path
+    on both sides)."""
+    from pretrain_interp import Net  # reference, read-only
+
+    c, t, r, hours, scale = (variant[k] for k in ("c", "t", "r", "hours", "scale"))
+    args = _args()
+    args.num_variables, args.num_timestamps, args.ref_points = c, t, r
+    args.hours_from_admission, args.scale = hours, scale
+    cfg = Config(num_variables=c, num_timestamps=t, ref_points=r,
+                 hours_from_admission=hours, scale=scale)
+
+    def planes():
+        mask = np.zeros((B, c, t), np.float32)
+        for i in range(B):
+            for j in range(c):
+                mask[i, j, : rng.randint(2, t + 1)] = 1.0
+        amp = scale if scale else 1.0
+        ob = (rng.rand(B, c, t).astype(np.float32) * amp - amp / 2) * mask
+        ts = np.sort(rng.rand(B, c, t).astype(np.float32) * hours, -1) * mask
+        ae = mask * (rng.rand(B, c, t) > 0.2).astype(np.float32)
+        return np.concatenate([ob, mask, ts, ae], axis=1)
+
+    x, fake_x = planes(), planes()
+    perm = rng.permutation(2 * B)
+    model, t_hidden, t_rec, t_aux = _run_torch(Net, args, x, fake_x, perm)
+    _, _, out = _run_ours(cfg, model.state_dict(), x, fake_x, perm)
+
+    np.testing.assert_allclose(np.asarray(out.hidden), t_hidden,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.rec), t_rec, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.aux["future_vital"]),
+                               t_aux["future_vital"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.aux["fake_det"]),
+                               t_aux["fake_det"], rtol=1e-5, atol=1e-5)
