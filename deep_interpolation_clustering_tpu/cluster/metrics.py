@@ -36,6 +36,33 @@ class PairwiseStats(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("k", "block"))
+def kth_neighbor_distance(x: Array, k: int, block: int = 1024) -> Array:
+    """Euclidean distance to the k-th nearest neighbor (self EXCLUDED) for
+    every row — the DBSCAN k-distance curve. The reference computes it
+    host-side with sklearn NearestNeighbors (p2_clustering_optK.py:97-107);
+    at 100k rows that is an O(n²d) CPU pass on data that already lives in
+    HBM. One blocked device sweep instead: each row block computes its
+    (block, N) distance slab as an MXU matmul (pairwise_sq_dist identity)
+    and top_k's the k smallest; "highest" matmul precision because the
+    kneedle knee reads absolute distance values, not cluster ratios."""
+    n, d = x.shape
+    n_pad = -(-n // block) * block
+    x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    blocks = x_pad.reshape(n_pad // block, block, d)
+    row_ids = jnp.arange(n_pad).reshape(n_pad // block, block)
+
+    def per_block(args):
+        xb, ids = args
+        sq = pairwise_sq_dist(xb, x)  # (block, N): real columns only
+        sq = jnp.where(jnp.arange(n)[None, :] == ids[:, None], jnp.inf, sq)
+        neg_top, _ = jax.lax.top_k(-sq, k)  # k smallest distances
+        return jnp.sqrt(jnp.maximum(-neg_top[:, -1], 0.0))
+
+    kth = jax.lax.map(per_block, (blocks, row_ids))
+    return kth.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
 def pairwise_cluster_stats(x: Array, labels: Array, k: int, block: int = 1024) -> PairwiseStats:
     """One blocked sweep over all pairwise distances."""
     x = jnp.asarray(x, jnp.float32)

@@ -443,12 +443,19 @@ class DbscanExplorer:
         return _derive_min_samples(self.min_samples, feat)
 
     def k_distance_graph(self, feat: np.ndarray, plot: bool = True) -> Dict:
-        from sklearn.neighbors import NearestNeighbors
+        from .metrics import kth_neighbor_distance
 
         k = self._min_samples(feat) - 1
-        nn = NearestNeighbors(n_neighbors=k).fit(feat)
-        dist, _ = nn.kneighbors(feat)
-        kth = np.sort(dist[:, -1])
+        # the reference's sklearn kneighbors(k) columns are [self, nn1, ...,
+        # nn_{k-1}], so its dist[:, -1] is the (k-1)-th TRUE neighbor; the
+        # device sweep excludes self, hence k - 1 (p2:97-107 semantics)
+        if k <= 1:
+            kth = np.zeros(len(feat), np.float32)  # degenerate: self column
+        else:
+            kth = np.asarray(
+                kth_neighbor_distance(np.asarray(feat, np.float32), k - 1)
+            )
+        kth = np.sort(kth)
         idx = np.arange(len(kth))
         knee_x = kneedle(idx, kth, curve="convex", direction="increasing")
         knee_eps = float(kth[int(knee_x)]) if knee_x is not None else None

@@ -111,3 +111,20 @@ def test_kneedle_finds_elbow():
 
     # degenerate
     assert kneedle(x, np.ones_like(x)) is None
+
+
+def test_kth_neighbor_distance_sklearn_oracle(rng):
+    """Blocked MXU k-NN distances == sklearn NearestNeighbors, including
+    the ragged final block and self-exclusion."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from deep_interpolation_clustering_tpu.cluster.metrics import (
+        kth_neighbor_distance,
+    )
+
+    x = rng.randn(257, 8).astype(np.float32)
+    for k in (1, 4, 10):
+        ours = np.asarray(kth_neighbor_distance(jnp.asarray(x), k, block=64))
+        nn = NearestNeighbors(n_neighbors=k + 1).fit(x)  # +1: includes self
+        dist, _ = nn.kneighbors(x)
+        np.testing.assert_allclose(ours, dist[:, -1], rtol=1e-4, atol=1e-5)
