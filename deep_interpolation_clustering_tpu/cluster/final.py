@@ -114,7 +114,7 @@ class FinalLabeler:
 
     # ------------------------------------------------------------ dbscan
     def _pred_dbscan(self, data, out_path: str) -> Dict[str, np.ndarray]:
-        from sklearn.cluster import DBSCAN
+        from .dbscan import fit_dbscan_impl
 
         cfg = self.cfg
         out = {}
@@ -122,7 +122,7 @@ class FinalLabeler:
         for cohort in COHORTS:
             d = dict(data[cohort])
             feat = d["hidden"]
-            raw = DBSCAN(eps=cfg.opt_eps, min_samples=feat.shape[-1]).fit_predict(feat)
+            raw, _ = fit_dbscan_impl(cfg, feat, cfg.opt_eps, feat.shape[-1])
             if cohort == "training":
                 _, aligned, train_centers = generate_align_map(
                     raw, d["ob"], d["padding_mask"], feat

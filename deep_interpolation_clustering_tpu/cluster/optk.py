@@ -473,13 +473,15 @@ class DbscanExplorer:
     def eps_sweep(
         self, feat: np.ndarray, eps_values: Optional[Sequence[float]] = None
     ) -> List[Dict]:
-        from sklearn.cluster import DBSCAN
+        from .dbscan import fit_dbscan_impl
 
         if eps_values is None:
             eps_values = np.arange(0.5, 5.0, 0.5)
         rows = []
         for eps in eps_values:
-            labels = DBSCAN(eps=eps, min_samples=self._min_samples(feat)).fit_predict(feat)
+            labels, _ = fit_dbscan_impl(
+                self.cfg, feat, float(eps), self._min_samples(feat)
+            )
             row = {"eps": float(eps)}
             row.update(dbscan_quality(feat, labels))
             rows.append(row)

@@ -70,6 +70,12 @@ class Config:
     # to a seeded reference run (cluster/sklearn_compat.py), for migration
     # validation against p4_clustering_final.py:159 / clustering_trainer.py:75.
     kmeans_impl: str = "device"
+    # "device" (default): blocked MXU DBSCAN with min-label propagation —
+    # sklearn-IDENTICAL labels (cluster/dbscan.py explains why the parity
+    # is exact, tests/test_dbscan_device.py checks it), no host O(n^2 d)
+    # radius query. "sklearn": the reference's host path
+    # (p2_clustering_optK.py:109-168, p4_clustering_final.py:175-233).
+    dbscan_impl: str = "device"
 
     # ---- learning ------------------------------------------------------
     loss: str = "ae_mse_sup_fake_detect"
