@@ -123,6 +123,15 @@ class FinalLabeler:
             d = dict(data[cohort])
             feat = d["hidden"]
             raw, _ = fit_dbscan_impl(cfg, feat, cfg.opt_eps, feat.shape[-1])
+            if (raw < 0).all():
+                # every point noise -> no clusters to align; a deep stack
+                # error from the aligner explains nothing to the user
+                raise ValueError(
+                    f"dbscan found 0 clusters on '{cohort}' at "
+                    f"eps={cfg.opt_eps}, min_samples={feat.shape[-1]} "
+                    f"({len(feat)} rows): raise --opt_eps (use the p2 "
+                    "k-distance knee) or use a larger cohort"
+                )
             if cohort == "training":
                 _, aligned, train_centers = generate_align_map(
                     raw, d["ob"], d["padding_mask"], feat

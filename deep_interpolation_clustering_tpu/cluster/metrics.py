@@ -46,6 +46,11 @@ def kth_neighbor_distance(x: Array, k: int, block: int = 1024) -> Array:
     and top_k's the k smallest; "highest" matmul precision because the
     kneedle knee reads absolute distance values, not cluster ratios."""
     n, d = x.shape
+    if not 1 <= k <= n - 1:
+        raise ValueError(
+            f"k={k} neighbors requested but only {n} rows exist "
+            f"(valid range: 1..{n - 1})"
+        )
     n_pad = -(-n // block) * block
     x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
     blocks = x_pad.reshape(n_pad // block, block, d)

@@ -449,6 +449,15 @@ class DbscanExplorer:
         # the reference's sklearn kneighbors(k) columns are [self, nn1, ...,
         # nn_{k-1}], so its dist[:, -1] is the (k-1)-th TRUE neighbor; the
         # device sweep excludes self, hence k - 1 (p2:97-107 semantics)
+        if k - 1 > len(feat) - 1:
+            # min_samples = feat_dim + 1 exceeds the cohort: the reference's
+            # sklearn path hard-crashes here ("n_neighbors <= n_samples");
+            # clamp to the farthest existing neighbor and keep exploring
+            logger.warning(
+                "k-distance: %d neighbors requested but only %d rows; "
+                "clamping to %d", k - 1, len(feat), len(feat) - 1,
+            )
+            k = len(feat)
         if k <= 1:
             kth = np.zeros(len(feat), np.float32)  # degenerate: self column
         else:
