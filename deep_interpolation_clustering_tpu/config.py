@@ -262,6 +262,36 @@ class Config:
             comps.add("triplet")
         return frozenset(comps)
 
+    # enum-valued fields: validated at construction so a typo'd flag fails
+    # at the CLI boundary with the valid options, not as a deep trace/XLA
+    # error thousands of frames in (rng_draw_bits=8, for instance, would
+    # otherwise silently behave as 32 — data/loader.py dispatches on == 16)
+    _CHOICES = {
+        "mode": ("train", "eval"),
+        "optimizer": ("adam", "sgd", "rmsprop"),
+        "lr_decay_mode": ("step", "plateau", "warmup"),
+        "matmul_precision": ("highest", "high", "default"),
+        "prng_impl": ("threefry2x32", "rbg"),
+        "rng_draw_bits": (32, 16),
+        "kmeans_impl": ("device", "sklearn"),
+        "dbscan_impl": ("device", "sklearn"),
+    }
+    _MIN_ONE = ("eval_interval", "epoch_scan_unroll", "batch_size",
+                "num_timestamps", "max_epochs")
+
+    def __post_init__(self):
+        for name, allowed in self._CHOICES.items():
+            v = getattr(self, name)
+            if v not in allowed:
+                raise ValueError(
+                    f"Config.{name}={v!r}: must be one of {allowed}"
+                )
+        for name in self._MIN_ONE:
+            if getattr(self, name) < 1:
+                raise ValueError(
+                    f"Config.{name}={getattr(self, name)} must be >= 1"
+                )
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

@@ -345,3 +345,29 @@ def test_fake_select_partitioned_on_mesh(rng):
     ]
     got = jax.jit(ps._select_partitioned)(*args)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_config_validates_enum_fields():
+    """Typo'd enum flags fail at construction with the valid options, not
+    as deep trace errors (rng_draw_bits=8 would otherwise silently act
+    as 32)."""
+    import pytest
+
+    from deep_interpolation_clustering_tpu import Config
+
+    for kw in (
+        {"matmul_precision": "hgih"},
+        {"prng_impl": "philox"},
+        {"rng_draw_bits": 8},
+        {"optimizer": "adamw"},
+        {"lr_decay_mode": "cosine"},
+        {"dbscan_impl": "gpu"},
+        {"eval_interval": 0},
+        {"epoch_scan_unroll": -1},
+    ):
+        with pytest.raises(ValueError, match=next(iter(kw))):
+            Config(**kw)
+    # the documented values all construct (and replace() re-validates)
+    cfg = Config(matmul_precision="default", prng_impl="rbg", rng_draw_bits=16)
+    with pytest.raises(ValueError, match="rng_draw_bits"):
+        cfg.replace(rng_draw_bits=8)
