@@ -291,6 +291,10 @@ class Config:
                 raise ValueError(
                     f"Config.{name}={getattr(self, name)} must be >= 1"
                 )
+        if self.k_max < 2:
+            # the K sweeps run 2..k_max; an empty sweep crashes the gap
+            # summary far from the flag that caused it
+            raise ValueError(f"Config.k_max={self.k_max} must be >= 2")
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
