@@ -337,10 +337,11 @@ def bench_onchip_parity() -> dict:
 V5E_PEAK_F32_FLOPS = 4.92e13  # MXU fp32 ~= bf16/4
 V5E_PEAK_HBM_BPS = 8.19e11  # 819 GB/s
 
-# The torch-CPU reference baseline wobbles ~2x with host load (README's
-# shakedown brackets it at 102-240 enc/s over hours of runs), so the
-# headline ratio quotes this measured band alongside the same-session point.
-BASELINE_BAND_ENC_S = (102.0, 240.0)
+# The torch-CPU reference baseline wobbles ~2.5x with host load (measured
+# 102-262 enc/s across hours of runs; the 262 reading is an idle host,
+# 2026-08-18), so the headline ratio quotes this measured band alongside
+# the same-session point.
+BASELINE_BAND_ENC_S = (102.0, 262.0)
 
 
 def _roofline(cost: dict) -> dict:
