@@ -68,19 +68,9 @@ def sci_forward_tmin(kernel, x, ref_points, hours_look_ahead):
     return jnp.transpose(rep, (0, 2, 1))
 
 
-def rbf_push(kernel, proj, raw_input, ref_points, hours_look_ahead):
-    """Current R-minor RBF push (decode minus the CompressFC trunk)."""
-    out_dim = kernel.shape[0]
-    m = raw_input[:, out_dim : 2 * out_dim, :]
-    t_obs = raw_input[:, 2 * out_dim : 3 * out_dim, :]
-    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
-    distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)
-    beta = jnp.log1p(jnp.exp(kernel))
-    phi = basis_func_dict()["gaussian"](beta[None, :, None, None], distances)
-    phi = phi * m[..., None]
-    norm = jnp.sum(phi, axis=-1)
-    y = jnp.sum(phi * proj[:, :, None, :], axis=-1)
-    return y / (norm + RBF_NORM_EPS) * m
+# Baseline arm: the SHIPPED R-minor push, imported (not copied) so the A/B
+# always measures the production code
+from deep_interpolation_clustering_tpu.ops.rbf import rbf_push  # noqa: E402
 
 
 def rbf_push_tmin(kernel, proj, raw_input, ref_points, hours_look_ahead):

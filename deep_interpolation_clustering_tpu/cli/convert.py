@@ -65,35 +65,41 @@ def to_jax(src: str, dst: str) -> str:
     return dst
 
 
-def _fresh_torch_opt_state(n_params: int, meta: Dict, optimizer: str) -> Dict:
+def _fresh_torch_opt_state(
+    n_params: int, meta: Dict, optimizer: str, weight_decay: float
+) -> Dict:
     """A state_dict a freshly constructed reference optimizer load_state_dicts
     cleanly: zero per-param state, one group with every param, hyperparams
     mirroring utils.pytorch_optimizer for the chosen optimizer (torch's
     load_state_dict REPLACES the group's hyperparams with these, so they
     must carry the right keys per optimizer class — an Adam-shaped group
     makes a restored SGD crash on its first step with KeyError 'momentum').
-    LR comes from the checkpoint meta when present."""
+    LR comes from the checkpoint meta when present; weight_decay from the
+    CLI (--weight_decay), because the replacement above would silently
+    override whatever the resuming run passed on ITS command line. The
+    remaining hyperparams are the torch-constructor defaults the reference
+    factory uses (utils.py:77-83 sets none of them)."""
     lr = float(meta.get("lr", 3e-3))
-    common = {"maximize": False, "foreach": None, "differentiable": False}
+    common = {"maximize": False, "foreach": None, "differentiable": False,
+              "weight_decay": weight_decay}
     if optimizer == "adam":
         hyper = {"lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
-                 "weight_decay": 4e-4, "amsgrad": True, "capturable": False,
-                 "fused": None, **common}
+                 "amsgrad": True, "capturable": False, "fused": None,
+                 **common}
     elif optimizer == "sgd":
         hyper = {"lr": lr, "momentum": 0.9, "dampening": 0,
-                 "weight_decay": 4e-4, "nesterov": True, "fused": None,
-                 **common}
+                 "nesterov": True, "fused": None, **common}
     elif optimizer == "rmsprop":
         hyper = {"lr": lr, "momentum": 0.9, "alpha": 0.99, "eps": 1e-8,
-                 "centered": False, "weight_decay": 4e-4, "capturable": False,
-                 **common}
+                 "centered": False, "capturable": False, **common}
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
     return {"state": {},
             "param_groups": [{**hyper, "params": list(range(n_params))}]}
 
 
-def to_torch(src: str, dst: str, optimizer: str = "adam") -> str:
+def to_torch(src: str, dst: str, optimizer: str = "adam",
+             weight_decay: float = 4e-4) -> str:
     """`checkpoint.npz` -> `model.pth.tar` (reference-restorable)."""
     import torch
 
@@ -105,7 +111,8 @@ def to_torch(src: str, dst: str, optimizer: str = "adam") -> str:
     blob = {
         "epoch": int(epoch),
         "state_dict": sd,
-        "optimizer": _fresh_torch_opt_state(n_params, meta, optimizer),
+        "optimizer": _fresh_torch_opt_state(n_params, meta, optimizer,
+                                            weight_decay),
     }
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     torch.save(blob, dst)
@@ -113,7 +120,8 @@ def to_torch(src: str, dst: str, optimizer: str = "adam") -> str:
     return dst
 
 
-def _convert_tree(direction: str, src: str, dst: str, optimizer: str) -> int:
+def _convert_tree(direction: str, src: str, dst: str, optimizer: str,
+                  weight_decay: float) -> int:
     """Weight-root directory mode: convert every `<metric>/` checkpoint."""
     n = 0
     for metric in sorted(os.listdir(src)):
@@ -125,7 +133,8 @@ def _convert_tree(direction: str, src: str, dst: str, optimizer: str) -> int:
         else:
             f = os.path.join(src, metric, ckpt.CKPT_NAME)
             if os.path.isfile(f):
-                to_torch(f, os.path.join(dst, metric, TORCH_NAME), optimizer)
+                to_torch(f, os.path.join(dst, metric, TORCH_NAME),
+                         optimizer, weight_decay)
                 n += 1
     return n
 
@@ -142,15 +151,22 @@ def main(argv=None):
                         help="to_torch: optimizer class the reference run "
                              "will restore into (shapes the synthesized "
                              "optimizer state's hyperparameter keys)")
+    parser.add_argument("--weight_decay", type=float, default=4e-4,
+                        help="to_torch: weight decay written into the "
+                             "synthesized optimizer state — torch's "
+                             "load_state_dict installs it over the "
+                             "resuming run's own flag, so pass the value "
+                             "that run will use")
     args = parser.parse_args(argv)
     if os.path.isdir(args.src):
-        n = _convert_tree(args.direction, args.src, args.dst, args.optimizer)
+        n = _convert_tree(args.direction, args.src, args.dst,
+                          args.optimizer, args.weight_decay)
         if n == 0:
             parser.error(f"no checkpoints found under {args.src}/*/")
     elif args.direction == "to_jax":
         to_jax(args.src, args.dst)
     else:
-        to_torch(args.src, args.dst, args.optimizer)
+        to_torch(args.src, args.dst, args.optimizer, args.weight_decay)
 
 
 if __name__ == "__main__":

@@ -197,6 +197,13 @@ class KSelection:
                 return self._gap_summary(rows, names, csv_path, plot,
                                          write_csv=False)
         inertia = inertia_v1 if version == 1 else inertia_v2
+        # invalidate-first: a crash anywhere between here and the fp write
+        # at the end leaves CSV-without-fp (recompute next run) rather than
+        # new-CSV-with-stale-fp (silent reuse of the wrong table)
+        try:
+            os.remove(csv_path + ".fp")
+        except OSError:
+            pass
         lo, rng_width = float(data.min()), float(data.max() - data.min())
         data_dev = self._put_rows(data)  # after the fingerprint: it hashes host bytes
         rng = np.random.RandomState(seed)
@@ -412,21 +419,37 @@ def dbscan_quality(feat: np.ndarray, labels: np.ndarray) -> Dict:
     logs both in the p2 eps sweep (p2_clustering_optK.py:148-166) and for
     the final p4 dbscan labels (p4_clustering_final.py:209-233). Noise
     (-1) counts as its own cluster in the with-noise score, exactly as
-    sklearn's silhouette treats it."""
-    from sklearn.metrics import silhouette_score as sk_silhouette
-
+    sklearn's silhouette treats it. Scores run as the blocked on-device
+    sweep (cluster/metrics.silhouette_score, sklearn-oracle-tested) — the
+    host sklearn pass is O(n²d) CPU at the 100k scale the on-device
+    DBSCAN fit just made cheap."""
     labels = np.asarray(labels)
     n_clusters = len(set(labels.tolist())) - (1 if -1 in labels else 0)
     n_noise = int(np.sum(labels == -1))
     row: Dict = {"n_clusters": n_clusters, "n_noise": n_noise}
     mask = labels != -1
     if n_clusters >= 2:
-        row["silhouette_with_noise"] = float(sk_silhouette(feat, labels))
+        row["silhouette_with_noise"] = _device_silhouette(feat, labels)
         if mask.sum() and len(set(labels[mask].tolist())) >= 2:
-            row["silhouette_wo_noise"] = float(
-                sk_silhouette(feat[mask], labels[mask])
+            row["silhouette_wo_noise"] = _device_silhouette(
+                feat[mask], labels[mask]
             )
     return row
+
+
+def _device_silhouette(feat: np.ndarray, labels: np.ndarray) -> float:
+    """Blocked on-device silhouette over arbitrary (possibly sparse, -1
+    included) label values: densify, score."""
+    import jax.numpy as jnp
+
+    from .metrics import silhouette_score
+
+    uniq, dense = np.unique(np.asarray(labels), return_inverse=True)
+    return float(
+        silhouette_score(
+            jnp.asarray(feat, jnp.float32), jnp.asarray(dense), int(len(uniq))
+        )
+    )
 
 
 class DbscanExplorer:

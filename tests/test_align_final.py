@@ -147,12 +147,14 @@ def test_dbscan_quality_summary(rng):
     labels = np.array([0] * 60 + [1] * 55 + [-1] * 5)
     q = dbscan_quality(x, labels)
     assert q["n_clusters"] == 2 and q["n_noise"] == 5
+    # rtol 1e-4: the scores now come from the blocked on-device sweep
+    # (f32 reduction order) vs sklearn's f64 pairwise pass
     np.testing.assert_allclose(
-        q["silhouette_with_noise"], silhouette_score(x, labels), rtol=1e-6
+        q["silhouette_with_noise"], silhouette_score(x, labels), rtol=1e-4
     )
     m = labels != -1
     np.testing.assert_allclose(
-        q["silhouette_wo_noise"], silhouette_score(x[m], labels[m]), rtol=1e-6
+        q["silhouette_wo_noise"], silhouette_score(x[m], labels[m]), rtol=1e-4
     )
     # degenerate cases: one cluster -> reference skips the silhouettes
     q1 = dbscan_quality(x, np.zeros(120, np.int64))
