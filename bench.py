@@ -43,13 +43,15 @@ def make_batch(rng, b):
     return ob, mask, ts, ae, fv, fvm
 
 
-def _require_backend(timeout_s: float = 300.0):
-    """Fail FAST with a diagnostic if the accelerator backend cannot
-    initialize. The axon TPU tunnel can wedge (PJRT init blocks forever in
-    make_c_api_client waiting on a stale chip claim — seen 2026-08-17);
-    without this guard the bench hangs silently and the round records
-    nothing. Init runs in a daemon thread because the hung PJRT call is
-    not interruptible."""
+def _require_backend(timeout_s: float = 1650.0):
+    """Fail with a diagnostic if the accelerator backend cannot initialize.
+    The axon TPU tunnel can wedge (PJRT init blocks in make_c_api_client —
+    seen 2026-08-17/18); without this guard the bench hangs silently and
+    the round records nothing. The deadline sits just past the pool's own
+    observed claim-resolution time (~1503 s measured: a queued claim either
+    gets granted or fails UNAVAILABLE at that mark), so a merely-queued
+    claim behind a healthy worker still succeeds. Init runs in a daemon
+    thread because the hung PJRT call is not interruptible."""
     import threading
 
     out = {}
