@@ -21,12 +21,16 @@ This module computes the same selection without sorting:
     reference's np.random.choice is exactly uniform). Documented, not
     load-bearing: fake samples only need to be adversarial, and every
     backend/path computes the identical mask.
-  * The k-th smallest key per row comes from a 30-pass one-bit-per-pass
-    MSD radix select (each pass fixes the next answer bit with a single
-    count-reduction — reduction-minimal, see `_radix_kth`). In plain XLA
-    those 30 count passes would each re-read the key array from HBM; the
-    Pallas kernel keeps the whole row tile resident in VMEM and does ONE
-    HBM read + one mask write.
+  * The k-th smallest key per row comes from a one-bit-per-pass MSD radix
+    select over the RANDOM key bits only (21 passes at T=354, each fixing
+    one answer bit with a single count-reduction — reduction-minimal, see
+    `_radix_kth`), followed by a single MXU triangular-matmul cumsum that
+    fills ties at the threshold in ascending position order — the same
+    (rand, pos)-lexicographic selection as radixing packed keys, minus
+    the position bits' passes (see `_select_kernel`). In plain XLA those
+    count passes would each re-read the key array from HBM; the Pallas
+    kernel keeps the whole row tile resident in VMEM and does ONE HBM
+    read + one mask write.
   * All arithmetic is int32 compares/shifts — bit-exact on every backend —
     so the XLA fallback (sort-based, used off-TPU where sorts are cheap
     and Mosaic isn't available) produces the IDENTICAL mask and the kernel
@@ -78,55 +82,110 @@ def _combined_keys(bits: Array, n_valid: Array, t: int) -> Array:
     return jnp.where(pos < n_valid, combined, _INVALID)
 
 
-def _radix_kth(combined: Array, k: Array) -> Array:
-    """Smallest v in [0, 2^30) with count(combined <= v) >= k, per row —
-    the k-th smallest key for k >= 1 (all-k=0 rows return 0). One bit per
-    pass, exact by construction: after pass i the top i+1 bits of the
-    answer are fixed. One count-reduction per bit is the reduction-minimal
-    schedule (a 2-bit pass needs three bounds = 1.5 reductions/bit)."""
+def _radix_kth(vals: Array, k: Array, nbits: int) -> Array:
+    """Smallest v in [0, 2^nbits) with count(vals <= v) >= k, per row —
+    the k-th smallest value for k >= 1 (all-k=0 rows return 0). One bit
+    per pass; each pass fixes the next answer bit with a single
+    count-reduction.
+
+    Measured schedule notes (real chip, B=256/T=354,
+    `benchmarks/radix_ab.py`): a pass's compare+reduce over a (256, 384)
+    tile is VPU-COMPUTE-bound at ~1.4 us, with only ~0.7 us of fixed
+    per-pass latency — so multi-bit passes (2^g - 1 counts fixing g bits)
+    LOSE wall-clock (g=3 measured 103 us vs 63 us for g=1): total count
+    work, not pass count, is what's paid. One count per bit is the
+    reduction-minimal schedule; the lever that remains is fewer BITS,
+    which is why the kernel radixes only the random key bits and resolves
+    position ties separately (see `_select_kernel`)."""
     def body(_, carry):
         prefix, bit = carry
         bound = prefix + (bit - 1)
-        c0 = jnp.sum((combined <= bound).astype(jnp.int32), axis=-1, keepdims=True)
+        c0 = jnp.sum((vals <= bound).astype(jnp.int32), axis=-1, keepdims=True)
         # fori_loop (not an unrolled Python loop, which multiplies Mosaic
         # compile time by the pass count) with a halving bit carry so every
         # shift is by a constant
         return jnp.where(c0 >= k, prefix, prefix + bit), bit >> 1
 
     prefix = jnp.zeros_like(k)
-    bit = jnp.full_like(k, jnp.int32(1 << (_KEY_BITS - 1)))
-    prefix, _ = jax.lax.fori_loop(0, _KEY_BITS, body, (prefix, bit))
+    bit = jnp.full_like(k, jnp.int32(1 << (nbits - 1)))
+    prefix, _ = jax.lax.fori_loop(0, nbits, body, (prefix, bit))
     return prefix
 
 
 def _select_kernel(bits_ref, nv_ref, k_ref, out_ref, *, t_len):
     """One row tile: bits (TILE, T_pad) uint32, nv/k (TILE, 1) int32;
-    out (TILE, T_pad) float32 — 1.0 on the selected slots."""
-    combined = _combined_keys(bits_ref[:], nv_ref[:], t_len)
+    out (TILE, T_pad) float32 — 1.0 on the selected slots.
+
+    Decomposes the k-smallest-of-(rand | pos) selection the sort fallback
+    computes (`_select_xla`) into two exact stages, saving the position
+    bits' radix passes (9 of 30 at T=354):
+
+      1. radix-select the k-th smallest of the RANDOM key bits alone
+         (multiset threshold v*), `_KEY_BITS - p` one-bit passes;
+      2. take every slot with rand < v*, then fill the remaining
+         `k - count(rand < v*)` slots from the ties (rand == v*) in
+         ascending position order — computed with one inclusive cumsum
+         along T as a (TILE, T) @ (T, T) upper-triangular matmul on the
+         MXU (counts <= T stay exact in f32), ~1.5 us vs ~1.4 us per
+         saved radix pass... for nine saved passes.
+
+    Position-ascending tie fill == (rand, pos)-lexicographic order, so the
+    mask is bit-identical to the fallback's threshold on packed keys."""
+    p = _pos_bits(t_len)
+    pos = jax.lax.broadcasted_iota(jnp.int32, bits_ref.shape, 1)
+    rand = jax.lax.shift_right_logical(
+        bits_ref[:], jnp.uint32(32 - _KEY_BITS + p)
+    ).astype(jnp.int32)  # (TILE, T_pad) in [0, 2^(KEY_BITS-p))
+    valid = pos < nv_ref[:]
+    rand = jnp.where(valid, rand, _INVALID)
     k = k_ref[:]
-    kth = _radix_kth(combined, k)
-    sel = (combined <= kth) & (k > 0)
+
+    v_star = _radix_kth(rand, k, _KEY_BITS - p)
+    lt = rand < v_star
+    eq = rand == v_star  # never matches _INVALID: v* < 2^(KEY_BITS-p)
+    need = (k - jnp.sum(lt.astype(jnp.int32), axis=-1, keepdims=True)).astype(
+        jnp.float32
+    )
+    # inclusive cumsum of the tie indicators in position order, on the MXU
+    t_pad = bits_ref.shape[1]
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
+    ).astype(jnp.float32)
+    csum = jnp.dot(eq.astype(jnp.float32), tri, preferred_element_type=jnp.float32)
+    sel = (lt | (eq & (csum <= need))) & (k > 0)
     out_ref[:] = sel.astype(jnp.float32)
+
+
+def _row_tile(t_pad: int) -> int:
+    """Rows per grid tile: target ~400K elements so each radix pass does
+    enough VPU work to amortize its fixed ~0.7 us latency (measured sweep
+    in benchmarks/radix_ab.py: 43 us at 1024 rows vs 49 at 256 for
+    B=256/T=354; T=48 is compute-flat past 768 rows). The tile's 5
+    (rows, T) VMEM buffers + the (T, T) tie-fill triangle stay ~8 MB,
+    inside the ~16 MB VMEM budget for any supported T (<= 512)."""
+    return max(_ROW_TILE, _round_up((_ROW_TILE * 1536) // t_pad, 8))
 
 
 def _select_pallas(bits: Array, n_valid: Array, k: Array) -> Array:
     rows, t_len = bits.shape
-    rows_pad = _round_up(rows, _ROW_TILE)
     t_pad = _round_up(t_len, 128)
+    tile = _row_tile(t_pad)
+    rows_pad = _round_up(rows, tile)
     bits_p = jnp.pad(bits, ((0, rows_pad - rows), (0, t_pad - t_len)))
     nv_p = jnp.pad(n_valid, ((0, rows_pad - rows), (0, 0)))
     k_p = jnp.pad(k, ((0, rows_pad - rows), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_select_kernel, t_len=t_len),
-        grid=(rows_pad // _ROW_TILE,),
+        grid=(rows_pad // tile,),
         in_specs=[
-            pl.BlockSpec((_ROW_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_ROW_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, t_pad), jnp.float32),
     )(bits_p, nv_p, k_p)
