@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from ..config import Config
 from ..ops import nn
 from ..ops.dec import centers_init, soft_assignment, target_distribution
-from ..ops.interpolation import cci_forward, cci_identity_kernel, sci_forward
+from ..ops.interpolation import (
+    Planes,
+    cci_forward,
+    cci_identity_kernel,
+    sci_forward,
+)
 from ..ops.lstm import bilstm_forward, lstm_init
 from ..ops.rbf import rbf_init, rbf_push
 
@@ -79,20 +84,32 @@ def init_net(
     return params, state
 
 
-def _encode(params: Dict, cfg: Config, x: Array) -> Tuple[Array, Array, Array, Array]:
-    """SCI -> CCI -> encoder. Returns (enc_out, hidden, cell, cat_hidden)."""
+def _sci(params: Dict, cfg: Config, x: Array) -> Array:
+    """SingleChannelInterp on one (B, 4C, T) stream -> (B, R, 3C)."""
     if cfg.use_pallas:
         from ..ops.pallas_interp import sci_forward_pallas as sci_fn
     else:
         sci_fn = sci_forward
-    rep = sci_fn(
+    return sci_fn(
         params["sci"]["kernel"], x, cfg.ref_points, cfg.hours_from_admission
     )
+
+
+def _encode_rep(
+    params: Dict, cfg: Config, rep: Array
+) -> Tuple[Array, Array, Array, Array]:
+    """CCI -> encoder over an SCI rep. Returns (enc_out, hidden, cell,
+    cat_hidden)."""
     rep = cci_forward(params["cci"]["kernel"], rep)
     rep = jnp.transpose(rep, (1, 0, 2))  # time-major (R, B, 3C)
     enc_out, hidden, cell = bilstm_forward(params["encoder"], rep)
     cat_hidden = jnp.concatenate([hidden[0], hidden[1]], axis=-1)
     return enc_out, hidden, cell, cat_hidden
+
+
+def _encode(params: Dict, cfg: Config, x: Array) -> Tuple[Array, Array, Array, Array]:
+    """SCI -> CCI -> encoder. Returns (enc_out, hidden, cell, cat_hidden)."""
+    return _encode_rep(params, cfg, _sci(params, cfg, x))
 
 
 def forward(
@@ -145,7 +162,7 @@ def _forward_impl(
     # bit-identical to the reference's three sequential passes
     # (pretrain_interp.py:130-166) while the latency-bound R-step LSTM chain
     # executes once instead of three times.
-    b = x.shape[0]
+    b = (x.ob if isinstance(x, Planes) else x).shape[0]
     streams = [x]
     use_fake = (
         cfg.fake_detection and fake_x is not None and fake_perm_idx is not None
@@ -156,8 +173,13 @@ def _forward_impl(
     if use_triplet:
         streams.append(positive_x)
     if len(streams) > 1:
-        enc_out_all, hidden_all, cell_all, cat_all = _encode(
-            params, cfg, jnp.concatenate(streams, axis=0)
+        # SCI runs per stream and only the tiny (B, R, 3C) reps concatenate:
+        # concatenating the (B, 4C, T) planes instead costs two ~20 us
+        # 17 MB concats plus their backward slices per step (trace r3);
+        # every SCI op is per-sample so the results are bit-identical
+        enc_out_all, hidden_all, cell_all, cat_all = _encode_rep(
+            params, cfg,
+            jnp.concatenate([_sci(params, cfg, s) for s in streams], axis=0),
         )
         enc_out = enc_out_all[:, :b]
         hidden = hidden_all[:, :b]

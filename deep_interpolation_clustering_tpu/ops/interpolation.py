@@ -19,7 +19,7 @@ The parity path keeps float32 throughout.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,23 @@ Array = jax.Array
 # kappa: sharpening factor of the transient (high-pass) channel
 # (reference interpolation_layer.py:71,80 — hard constant 10.0)
 TRANSIENT_KAPPA = 10.0
+
+
+class Planes(NamedTuple):
+    """The four `(B, C, T)` input planes, unstacked.
+
+    The reference carries them stacked as one `(B, 4C, T)` tensor
+    (interpolation_layer.py:26-30) which SCI/RBF immediately re-slice; the
+    training path keeps them separate end-to-end — the per-step stack was
+    two ~9 MB concats (~38 us/step at B=256, trace r3) whose only consumer
+    un-slices them. `to_planes` accepts either form, so stacked arrays
+    (torch parity fixtures, external callers) keep working unchanged.
+    """
+
+    ob: Array  # observed values (denoised with the ae mask when configured)
+    mask: Array  # padding mask
+    ts: Array  # timestamps
+    ae: Array  # autoencoder hold-out mask
 
 
 def split_planes(x: Array, d_dim: int) -> Tuple[Array, Array, Array, Array]:
@@ -46,6 +63,13 @@ def split_planes(x: Array, d_dim: int) -> Tuple[Array, Array, Array, Array]:
     )
 
 
+def to_planes(x: Union[Array, Planes], d_dim: int) -> Planes:
+    """Normalize a stacked `(B, 4C, T)` array or a `Planes` to `Planes`."""
+    if isinstance(x, Planes):
+        return x
+    return Planes(*split_planes(x, d_dim))
+
+
 def reference_times(ref_points: int, hours_look_ahead: float, dtype=jnp.float32) -> Array:
     """Uniform reference grid over [0, hours] (reference interpolation_layer.py:41)."""
     return jnp.linspace(0.0, float(hours_look_ahead), ref_points, dtype=dtype)
@@ -53,18 +77,19 @@ def reference_times(ref_points: int, hours_look_ahead: float, dtype=jnp.float32)
 
 def sci_forward(
     kernel: Array,
-    x: Array,
+    x: Union[Array, Planes],
     ref_points: int,
     hours_look_ahead: float,
 ) -> Array:
-    """SingleChannelInterp: irregular `(B, 4C, T)` -> gridded `(B, R, 3C)`.
+    """SingleChannelInterp: irregular `(B, 4C, T)` (or `Planes`) ->
+    gridded `(B, R, 3C)`.
 
     Channel layout of the output's last axis: [smooth y | intensity w |
     transient y_trans] (reference interpolation_layer.py:84-86).
     """
     d_dim = kernel.shape[0]
-    x_t, mask, t_obs, _ = split_planes(x, d_dim)
-    ref_t = reference_times(ref_points, hours_look_ahead, x.dtype)
+    x_t, mask, t_obs, _ = to_planes(x, d_dim)
+    ref_t = reference_times(ref_points, hours_look_ahead, x_t.dtype)
 
     # (B, C, T, R) squared time distances
     diff = t_obs[..., None] - ref_t

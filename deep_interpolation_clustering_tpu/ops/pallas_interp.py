@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .interpolation import TRANSIENT_KAPPA, reference_times, split_planes
+from .interpolation import TRANSIENT_KAPPA, reference_times, to_planes
 from .rbf import RBF_NORM_EPS
 
 Array = jax.Array
@@ -86,9 +86,9 @@ def _sci_kernel(x_ref, t_ref, neg_ref, alpha_ref, ref_t_ref, out_ref, *, r_pts):
 def _sci_pallas_raw(
     kernel: Array, x: Array, ref_points: int, hours_look_ahead: float
 ) -> Array:
-    b, four_c, t_len = x.shape
     c = kernel.shape[0]
-    x_t, mask, t_obs, _ = split_planes(x, c)
+    x_t, mask, t_obs, _ = to_planes(x, c)
+    b, _, t_len = x_t.shape
     alpha = jnp.log1p(jnp.exp(kernel))  # softplus, matches sci_forward
 
     rows = b * c
@@ -107,7 +107,7 @@ def _sci_pallas_raw(
     neg = jnp.where(prep(mask, fill=0.0) > 0, 0.0, _NEG_INF)
     alpha_rows = jnp.tile(alpha, b)
     alpha_rows = jnp.pad(alpha_rows, (0, rows_pad - rows))[:, None]  # (rows, 1)
-    ref_t = reference_times(ref_points, hours_look_ahead, x.dtype)[None, :]
+    ref_t = reference_times(ref_points, hours_look_ahead, x_t.dtype)[None, :]
 
     out = pl.pallas_call(
         functools.partial(_sci_kernel, r_pts=ref_points),
@@ -122,7 +122,7 @@ def _sci_pallas_raw(
         out_specs=pl.BlockSpec(
             (tile, 3 * ref_points), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, 3 * ref_points), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, 3 * ref_points), x_t.dtype),
         interpret=_interpret(),
     )(xr, tr, neg, alpha_rows, ref_t)
 
@@ -183,9 +183,8 @@ def _rbf_pallas_raw(
     """`proj` is the compressed per-channel grid values (B, C, R) — the
     CompressFC trunk stays in XLA (it is a dense matmul, already optimal)."""
     b, c, _ = proj.shape
-    t_len = raw_input.shape[-1]
-    m = raw_input[:, c : 2 * c, :]
-    t_obs = raw_input[:, 2 * c : 3 * c, :]
+    _, m, t_obs, _ = to_planes(raw_input, c)
+    t_len = m.shape[-1]
     beta = jnp.log1p(jnp.exp(kernel))
 
     rows = b * c
@@ -200,7 +199,7 @@ def _rbf_pallas_raw(
     tr, mr = prep(t_obs), prep(m)
     proj_r = jnp.pad(proj.reshape(rows, ref_points), ((0, rows_pad - rows), (0, 0)))
     beta_rows = jnp.pad(jnp.tile(beta, b), (0, rows_pad - rows))[:, None]
-    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)[None, :]
+    ref_t = reference_times(ref_points, hours_look_ahead, m.dtype)[None, :]
 
     out = pl.pallas_call(
         functools.partial(_rbf_kernel, r_pts=ref_points),
@@ -213,7 +212,7 @@ def _rbf_pallas_raw(
             pl.BlockSpec((1, ref_points), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, t_pad), raw_input.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, t_pad), m.dtype),
         interpret=_interpret(),
     )(tr, mr, proj_r, beta_rows, ref_t)
 
@@ -230,9 +229,8 @@ def rbf_project_pallas(kernel, proj, raw_input, ref_points: int, hours_look_ahea
 def _rbf_jnp_reference(kernel, proj, raw_input, ref_points, hours_look_ahead):
     """jnp mirror of the kernel math (used for the custom backward)."""
     c = proj.shape[1]
-    m = raw_input[:, c : 2 * c, :]
-    t_obs = raw_input[:, 2 * c : 3 * c, :]
-    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
+    _, m, t_obs, _ = to_planes(raw_input, c)
+    ref_t = reference_times(ref_points, hours_look_ahead, m.dtype)
     beta = jnp.log1p(jnp.exp(kernel))
     phi = jnp.exp(-beta[None, :, None, None] * jnp.square(t_obs[..., None] - ref_t))
     phi = phi * m[..., None]

@@ -19,7 +19,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .interpolation import reference_times
+from .interpolation import reference_times, to_planes
 from . import nn
 
 Array = jax.Array
@@ -128,9 +128,8 @@ def rbf_push(
             kernel, proj, raw_input, ref_points, hours_look_ahead
         )
 
-    m = raw_input[:, out_dim : 2 * out_dim, :]  # (B, C, T)
-    t_obs = raw_input[:, 2 * out_dim : 3 * out_dim, :]
-    ref_t = reference_times(ref_points, hours_look_ahead, raw_input.dtype)
+    _, m, t_obs, _ = to_planes(raw_input, out_dim)  # mask / timestamps
+    ref_t = reference_times(ref_points, hours_look_ahead, t_obs.dtype)
 
     # |t_obs - ref_t| — the reference computes (d^2)^0.5 (rbf.py:76)
     distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)

@@ -24,10 +24,10 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..data.loader import augment_batch, make_fake_ob, stack_input
+from ..data.loader import augment_batch, make_fake_ob
 from ..models import forward
 from ..models.losses import compute_losses
-from ..ops.interpolation import split_planes
+from ..ops.interpolation import Planes
 
 Array = jax.Array
 
@@ -64,8 +64,11 @@ def build_inputs(
     ob = ob * padding_mask
 
     def stack(o, t):
+        # Planes, not a stacked (B, 4C, T) tensor: the stack was two ~9 MB
+        # concats per step whose only consumers (SCI/RBF) re-slice them
+        # (trace r3, ~38 us/step at B=256); values are identical
         o_in = o * ae_mask if denoise else o
-        return stack_input(o_in, padding_mask, t, ae_mask)
+        return Planes(o_in, padding_mask, t, ae_mask)
 
     x = stack(ob, timestamp)
     out: Dict[str, Any] = {
@@ -110,7 +113,7 @@ def build_inputs(
         )
         # the reference never denoises the positive branch
         # (pretrain_trainer.py:171-173) — parity requires the raw jittered ob
-        out["positive_x"] = stack_input(pos_ob, padding_mask, pos_ts, ae_mask)
+        out["positive_x"] = Planes(pos_ob, padding_mask, pos_ts, ae_mask)
 
     # supervised aux labels ride along untouched
     out["aux_label"] = {t: batch[t] for t in cfg.aux_tasks if t in batch}
