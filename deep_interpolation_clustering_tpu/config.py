@@ -161,6 +161,20 @@ class Config:
     # transcendental approximations), so leave this off on the strict
     # parity path.
     use_pallas: bool = False
+    # route the encoder/decoder biLSTM recurrences through the fused Mosaic
+    # kernel (ops/pallas_lstm.py): all R steps of both directions run in
+    # one kernel per batch tile with the recurrent weights VMEM-resident,
+    # and the backward is a hand-written reverse-walk kernel instead of
+    # XLA's unrolled scan transpose. Math identical to the scan path
+    # (fwd 9e-8, grads 2e-7 relative, tests/test_pallas_kernels.py).
+    # MEASURED SLOWER on the real chip — 787.8 us/step vs 593.8 at the
+    # B=256/T=354 production defaults (trace-based device timing, r3): the
+    # (T, TILE, 4H) gate buffers cap the batch tile at ~112 rows under the
+    # 16 MB VMEM stack budget, so the sequential grid serializes 5x6 small
+    # matmul+gate chains where the XLA scan runs 6 at full batch — and the
+    # gate transcendentals (the VPU-bound ~40% of LSTM cost) are the same
+    # either way. Kept as a tested option; OFF by default.
+    use_pallas_lstm: bool = False
     # run all MLP head trunks (RBF compress + future/aux/fake heads) as ONE
     # batched Linear->BN->Dropout->Linear chain (ops/nn.heads_apply_fused).
     # Identical math per head (BN stats stay per-head; block-diagonal fc2),

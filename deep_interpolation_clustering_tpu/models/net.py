@@ -102,7 +102,9 @@ def _encode_rep(
     cat_hidden)."""
     rep = cci_forward(params["cci"]["kernel"], rep)
     rep = jnp.transpose(rep, (1, 0, 2))  # time-major (R, B, 3C)
-    enc_out, hidden, cell = bilstm_forward(params["encoder"], rep)
+    enc_out, hidden, cell = bilstm_forward(
+        params["encoder"], rep, use_pallas=cfg.use_pallas_lstm
+    )
     cat_hidden = jnp.concatenate([hidden[0], hidden[1]], axis=-1)
     return enc_out, hidden, cell, cat_hidden
 
@@ -192,7 +194,9 @@ def _forward_impl(
         fake_cat_hidden = pos_cat_hidden = None
 
     dec_in = jax.nn.relu(enc_out)  # DecoderRNN ReLUs its input (:39)
-    dec_out, _, _ = bilstm_forward(params["decoder"], dec_in, hidden, cell)
+    dec_out, _, _ = bilstm_forward(
+        params["decoder"], dec_in, hidden, cell, use_pallas=cfg.use_pallas_lstm
+    )
     interp_data = jnp.transpose(dec_out, (1, 0, 2))  # (B, R, 2H)
 
     pos_neg = None

@@ -42,6 +42,7 @@ def bilstm_forward(
     x: Array,
     h0: Optional[Array] = None,
     c0: Optional[Array] = None,
+    use_pallas: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Run a 1-layer biLSTM over time-major `x: (T, B, F)`.
 
@@ -67,6 +68,27 @@ def bilstm_forward(
 
     xg_f = x @ params["fwd"]["w_ih"].T + params["fwd"]["b_ih"]  # (T, B, 4H)
     xg_b = x @ params["bwd"]["w_ih"].T + params["bwd"]["b_ih"]
+
+    if use_pallas:
+        # fused Mosaic recurrence (ops/pallas_lstm.py): weights stay VMEM-
+        # resident across the whole T-step chain, the bwd stream indexes
+        # time directly (no flip/stack relayouts), and the hand-written
+        # backward kernel replaces XLA's unrolled reverse scan
+        from .pallas_lstm import bilstm_recurrence_pallas
+
+        w_hhT = jnp.stack(
+            [params["fwd"]["w_hh"].T, params["bwd"]["w_hh"].T]
+        )  # (2, H, 4H)
+        b_hh2 = jnp.stack([params["fwd"]["b_hh"], params["bwd"]["b_hh"]])
+        ysf, ysb, csf, csb = bilstm_recurrence_pallas(
+            xg_f, xg_b, w_hhT, b_hh2,
+            jnp.stack([h0_f, h0_b]), jnp.stack([c0_f, c0_b]),
+        )
+        output = jnp.concatenate([ysf, ysb], axis=-1)  # ysb time-aligned
+        h_t = jnp.stack([ysf[-1], ysb[0]])  # final state per direction
+        c_t = jnp.stack([csf[-1], csb[0]])
+        return output, h_t, c_t
+
     xg = jnp.stack([xg_f, jnp.flip(xg_b, axis=0)], axis=1)  # (T, 2, B, 4H)
     w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])  # (2, 4H, H)
     b_hh = jnp.stack([params["fwd"]["b_hh"], params["bwd"]["b_hh"]])  # (2, 4H)

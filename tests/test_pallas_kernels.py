@@ -87,3 +87,60 @@ def test_sci_pallas_nondivisible_shapes(rng):
     want = np.asarray(sci_forward(jnp.asarray(kernel), jnp.asarray(x), R, HOURS))
     got = np.asarray(sci_forward_pallas(jnp.asarray(kernel), jnp.asarray(x), R, HOURS))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bilstm_pallas_matches_scan(rng):
+    """The fused Mosaic biLSTM recurrence (ops/pallas_lstm.py) must match
+    the lax.scan path in forward AND in every gradient (params, inputs,
+    initial states) — the hand-written reverse-walk backward covers
+    interior h/c cotangents uniformly, not just the final-state slices.
+    Interpreter mode off-TPU; kept as a measured-slower option (see
+    Config.use_pallas_lstm)."""
+    from jax.flatten_util import ravel_pytree
+
+    from deep_interpolation_clustering_tpu.ops.lstm import (
+        bilstm_forward,
+        lstm_init,
+    )
+
+    t_len, b, feat, hidden = 6, 9, 18, 128
+    params = lstm_init(jax.random.PRNGKey(1), feat, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(2), (t_len, b, feat))
+    h0 = jax.random.normal(jax.random.PRNGKey(3), (2, b, hidden)) * 0.1
+    c0 = jax.random.normal(jax.random.PRNGKey(4), (2, b, hidden)) * 0.1
+
+    o1, h1, c1 = bilstm_forward(params, x, h0, c0, use_pallas=False)
+    o2, h2, c2 = bilstm_forward(params, x, h0, c0, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-6)
+
+    def loss(params, x, h0, c0, up):
+        o, h, c = bilstm_forward(params, x, h0, c0, use_pallas=up)
+        # weight interior steps AND final states so both cotangent paths
+        # (dys stream and the final-state slices) are exercised
+        return jnp.sum(o * 1.3) + jnp.sum(h * 0.7) + jnp.sum(c * 0.3)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(params, x, h0, c0, False)
+    g2 = jax.grad(loss, argnums=(0, 1, 2, 3))(params, x, h0, c0, True)
+    f1, _ = ravel_pytree(g1)
+    f2, _ = ravel_pytree(g2)
+    scale = float(jnp.max(jnp.abs(f1)))
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(f1), atol=2e-6 * max(scale, 1.0)
+    )
+
+
+def test_full_model_pallas_lstm_parity(rng):
+    """forward(use_pallas_lstm=True) == baseline end to end."""
+    cfg = Config(num_timestamps=T, fake_detection=False, aux_tasks={})
+    params, state = init_net(jax.random.PRNGKey(0), cfg)
+    x = _planes(rng)
+    out_ref = forward(params, state, cfg, x, train=False)
+    out_pl = forward(params, state, cfg.replace(use_pallas_lstm=True), x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pl.hidden), np.asarray(out_ref.hidden), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl.rec), np.asarray(out_ref.rec), rtol=1e-5, atol=1e-6
+    )
