@@ -161,6 +161,15 @@ class Config:
     # transcendental approximations), so leave this off on the strict
     # parity path.
     use_pallas: bool = False
+    # keep the UNCHANGED XLA forward for SCI (the 1e-5 parity surface) but
+    # run its BACKWARD as a fused Pallas kernel that recomputes the softmax
+    # chains in VMEM instead of letting XLA materialize the (B,C,T,R)
+    # softmax tensors in HBM between forward and backward
+    # (ops/pallas_interp.sci_forward_hybrid). Gradients agree with XLA
+    # autodiff to f32 rounding (~1e-6 relative; mask cotangents are 0
+    # where mask==0 instead of the jnp path's NaN). Train-path only by
+    # construction — eval takes no gradients.
+    use_pallas_bwd: bool = False
     # route the encoder/decoder biLSTM recurrences through the fused Mosaic
     # kernel (ops/pallas_lstm.py): all R steps of both directions run in
     # one kernel per batch tile with the recurrent weights VMEM-resident,

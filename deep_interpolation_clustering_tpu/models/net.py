@@ -88,6 +88,8 @@ def _sci(params: Dict, cfg: Config, x: Array) -> Array:
     """SingleChannelInterp on one (B, 4C, T) stream -> (B, R, 3C)."""
     if cfg.use_pallas:
         from ..ops.pallas_interp import sci_forward_pallas as sci_fn
+    elif cfg.use_pallas_bwd:
+        from ..ops.pallas_interp import sci_forward_hybrid as sci_fn
     else:
         sci_fn = sci_forward
     return sci_fn(

@@ -257,3 +257,165 @@ def _rbf_bwd(ref_points, hours_look_ahead, res, g):
 
 
 rbf_project_pallas.defvjp(_rbf_fwd, _rbf_bwd)
+
+
+# ======================================================================
+# SCI backward: fused recompute-in-VMEM VJP (XLA forward stays primal)
+# ======================================================================
+def _sci_bwd_kernel(
+    x_ref, t_ref, neg_ref, alpha_ref, ref_t_ref, gy_ref, gw_ref, gyt_ref,
+    dx_ref, dt_ref, dm_ref, dalpha_ref, *, r_pts,
+):
+    """One row tile of the SCI VJP.
+
+    XLA's autodiff of the logsumexp/softmax chains materializes the
+    (B, C, T, R)-scale softmax tensors in HBM between forward and backward
+    (the ~13 MB multiply_reduce fusions in the r3 trace, running at memory
+    bandwidth). This kernel re-derives them in VMEM from one read of the
+    (rows, T) planes and emits only the input-sized cotangents:
+
+      p_jr = softmax_T(-a d^2 + log m),  y_r = sum_j p x
+      glog_jr  = p (gw_r + gy_r (x - y_r))              [smooth+intensity]
+      glogt_jr = q gyt_r (x - yt_r), q = softmax(kappa..)  [transient]
+      gl = glog + kappa glogt
+      dx_j  = sum_r (gy p + gyt q)
+      da    = -sum_{j,r} gl d^2          (per row; -> dtheta outside)
+      dt_j  = -2 a sum_r gl d
+      dm_j  = sum_r (glog + glogt)       (d log(m)/dm = 1 at m=1; 0 rows
+                                          where m=0 since p=q=0 there —
+                                          the jnp path NaNs those entries)
+    """
+    x = x_ref[:]
+    t = t_ref[:]
+    neg = neg_ref[:]
+    alpha = alpha_ref[:]  # (TILE, 1)
+    dx = jnp.zeros_like(x)
+    dt = jnp.zeros_like(x)
+    dm = jnp.zeros_like(x)
+    dal = jnp.zeros_like(alpha)
+    for r in range(r_pts):
+        ref_t = ref_t_ref[0, r]
+        d = t - ref_t
+        d2 = d * d
+        gy = gy_ref[:, r : r + 1]
+        gw = gw_ref[:, r : r + 1]
+        gyt = gyt_ref[:, r : r + 1]
+
+        logits = -alpha * d2 + neg
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=1, keepdims=True)
+        p = e / s
+        y = jnp.sum(p * x, axis=1, keepdims=True)
+        glog = p * (gw + gy * (x - y))
+
+        logits_t = TRANSIENT_KAPPA * (-alpha * d2) + neg
+        m_t = jnp.max(logits_t, axis=1, keepdims=True)
+        e_t = jnp.exp(logits_t - m_t)
+        s_t = jnp.sum(e_t, axis=1, keepdims=True)
+        q = e_t / s_t
+        yt = jnp.sum(q * x, axis=1, keepdims=True)
+        glogt = q * (gyt * (x - yt))
+
+        gl = glog + TRANSIENT_KAPPA * glogt
+        dx = dx + gy * p + gyt * q
+        dal = dal - jnp.sum(gl * d2, axis=1, keepdims=True)
+        dt = dt - 2.0 * alpha * d * gl
+        dm = dm + glog + glogt
+    dx_ref[:] = dx
+    dt_ref[:] = dt
+    dm_ref[:] = dm
+    dalpha_ref[:] = dal
+
+
+def _sci_bwd_pallas(kernel, x, g, ref_points: int, hours_look_ahead: float):
+    """Assemble the SCI cotangents: returns (dkernel, d_planes-tuple)."""
+    c = kernel.shape[0]
+    x_t, mask, t_obs, _ = to_planes(x, c)
+    b, _, t_len = x_t.shape
+    alpha = jnp.log1p(jnp.exp(kernel))
+
+    rows = b * c
+    tile = 256
+    rows_pad = _round_up(rows, tile)
+    t_pad = _round_up(t_len, 128)
+
+    def prep(a, fill=0.0):
+        a = a.reshape(rows, t_len)
+        return jnp.pad(a, ((0, rows_pad - rows), (0, t_pad - t_len)),
+                       constant_values=fill)
+
+    xr = prep(x_t)
+    tr = prep(t_obs)
+    # col padding is "unobserved" (-inf), but ROW padding must stay finite:
+    # an all--inf row makes the softmax recompute NaN, and NaN * (zero
+    # cotangent) still poisons the dalpha sum
+    neg_core = jnp.where(prep(mask, fill=0.0) > 0, 0.0, _NEG_INF)
+    row_ok = (jnp.arange(rows_pad) < rows)[:, None]
+    neg = jnp.where(row_ok, neg_core, 0.0)
+    alpha_rows = jnp.pad(jnp.tile(alpha, b), (0, rows_pad - rows))[:, None]
+    ref_t = reference_times(ref_points, hours_look_ahead, x_t.dtype)[None, :]
+
+    # cotangent (B, R, 3C) -> three (rows, R) streams, channel-minor rows
+    def cot(i):
+        gi = g[..., i * c : (i + 1) * c]  # (B, R, C)
+        gi = jnp.transpose(gi, (0, 2, 1)).reshape(rows, ref_points)
+        return jnp.pad(gi, ((0, rows_pad - rows), (0, 0)))
+
+    gy, gw, gyt = cot(0), cot(1), cot(2)
+
+    plane = jax.ShapeDtypeStruct((rows_pad, t_pad), x_t.dtype)
+    specs_plane = pl.BlockSpec((tile, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    specs_r = pl.BlockSpec((tile, ref_points), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    specs_1 = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dx, dt, dm, dal = pl.pallas_call(
+        functools.partial(_sci_bwd_kernel, r_pts=ref_points),
+        grid=(rows_pad // tile,),
+        in_specs=[
+            specs_plane, specs_plane, specs_plane, specs_1,
+            pl.BlockSpec((1, ref_points), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            specs_r, specs_r, specs_r,
+        ],
+        out_specs=(specs_plane, specs_plane, specs_plane, specs_1),
+        out_shape=(plane, plane, plane,
+                   jax.ShapeDtypeStruct((rows_pad, 1), x_t.dtype)),
+        interpret=_interpret(),
+    )(xr, tr, neg, alpha_rows, ref_t, gy, gw, gyt)
+
+    unprep = lambda a: a[:rows, :t_len].reshape(b, c, t_len)
+    dkernel = jnp.sum(dal[:rows, 0].reshape(b, c), axis=0) * jax.nn.sigmoid(kernel)
+    return dkernel, (unprep(dx), unprep(dm), unprep(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sci_forward_hybrid(kernel, x, ref_points: int, hours_look_ahead: float):
+    """`interpolation.sci_forward` with the UNCHANGED XLA forward as the
+    primal (1e-5 parity surface intact) and the fused Pallas VJP above as
+    the backward. Gradients agree with XLA autodiff to f32 rounding
+    (~1e-7 relative; Mosaic transcendentals differ slightly on TPU).
+    Mask-plane cotangents are 0 where mask==0 (the jnp path yields NaN
+    there from log(0); both are meaningless for a 0/1 data mask)."""
+    from .interpolation import sci_forward
+
+    return sci_forward(kernel, x, ref_points, hours_look_ahead)
+
+
+def _sci_hybrid_fwd(kernel, x, ref_points, hours_look_ahead):
+    from .interpolation import sci_forward
+
+    return sci_forward(kernel, x, ref_points, hours_look_ahead), (kernel, x)
+
+
+def _sci_hybrid_bwd(ref_points, hours_look_ahead, res, g):
+    from .interpolation import Planes
+
+    kernel, x = res
+    dkernel, (dx, dm, dt) = _sci_bwd_pallas(kernel, x, g, ref_points, hours_look_ahead)
+    if isinstance(x, Planes):
+        dplanes = Planes(dx, dm, dt, jnp.zeros_like(x.ae))
+    else:
+        dplanes = jnp.concatenate([dx, dm, dt, jnp.zeros_like(dx)], axis=1)
+    return dkernel, dplanes
+
+
+sci_forward_hybrid.defvjp(_sci_hybrid_fwd, _sci_hybrid_bwd)

@@ -144,3 +144,94 @@ def test_full_model_pallas_lstm_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out_pl.rec), np.asarray(out_ref.rec), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sci_hybrid_bwd_matches_autodiff(rng):
+    """sci_forward_hybrid: identical XLA forward (parity surface intact),
+    fused Pallas VJP. Gradients must match XLA autodiff to f32 rounding on
+    kernel/ob/ts, and on mask at VALID slots (the jnp path NaNs mask==0
+    entries via log(0); the kernel defines them as 0)."""
+    from deep_interpolation_clustering_tpu.ops.interpolation import Planes
+    from deep_interpolation_clustering_tpu.ops.pallas_interp import (
+        sci_forward_hybrid,
+    )
+
+    b, t = 5, 37
+    mask = np.zeros((b, C, t), np.float32)
+    counts = rng.randint(2, t + 1, size=(b, C))
+    for i in range(b):
+        for j in range(C):
+            mask[i, j, : counts[i, j]] = 1.0
+    ob = (rng.rand(b, C, t).astype(np.float32) * 5 - 2.5) * mask
+    ts = np.sort(rng.rand(b, C, t).astype(np.float32) * HOURS, axis=-1) * mask
+    planes = Planes(
+        jnp.asarray(ob), jnp.asarray(mask), jnp.asarray(ts), jnp.asarray(mask)
+    )
+    kernel = jnp.asarray(rng.rand(C).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, R, 3 * C).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(sci_forward_hybrid(kernel, planes, R, HOURS)),
+        np.asarray(sci_forward(kernel, planes, R, HOURS)),
+    )
+
+    g_ref = jax.grad(
+        lambda k, pl: jnp.sum(sci_forward(k, pl, R, HOURS) * w), argnums=(0, 1)
+    )(kernel, planes)
+    g_pl = jax.grad(
+        lambda k, pl: jnp.sum(sci_forward_hybrid(k, pl, R, HOURS) * w),
+        argnums=(0, 1),
+    )(kernel, planes)
+    np.testing.assert_allclose(
+        np.asarray(g_pl[0]), np.asarray(g_ref[0]), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pl[1].ob), np.asarray(g_ref[1].ob), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pl[1].ts), np.asarray(g_ref[1].ts), rtol=1e-5,
+        atol=1e-4 * float(np.abs(np.asarray(g_ref[1].ts)).max()),
+    )
+    valid = mask > 0
+    np.testing.assert_allclose(
+        np.asarray(g_pl[1].mask)[valid], np.asarray(g_ref[1].mask)[valid],
+        rtol=1e-5, atol=1e-4,
+    )
+    assert (np.asarray(g_pl[1].mask)[~valid] == 0).all()
+    assert (np.asarray(g_pl[1].ae) == 0).all()
+
+
+def test_train_step_pallas_bwd_matches(rng):
+    """One full train-step gradient under use_pallas_bwd vs baseline."""
+    from deep_interpolation_clustering_tpu.train.steps import (
+        _forward_and_losses,
+        build_inputs,
+    )
+    from jax.flatten_util import ravel_pytree
+
+    cfg = Config(num_timestamps=T, batch_size=4)
+    params, state = init_net(jax.random.PRNGKey(0), cfg)
+    ob = (rng.rand(4, C, T).astype(np.float32) * 5 - 2.5)
+    mask = np.ones((4, C, T), np.float32)
+    ts = np.sort(rng.rand(4, C, T).astype(np.float32) * HOURS, axis=-1)
+    batch = {
+        "ob": jnp.asarray(ob), "padding_mask": jnp.asarray(mask),
+        "timestamp": jnp.asarray(ts), "ae_mask": jnp.asarray(mask),
+        "future_vital": jnp.asarray(rng.rand(4, C).astype(np.float32)),
+        "future_vital_mask": jnp.asarray(np.ones((4, C), np.float32)),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def total_loss(params, cfg):
+        inputs = build_inputs(cfg, batch, key, train=True, denoise=False)
+        _, losses = _forward_and_losses(params, state, cfg, inputs, True, key)
+        return losses["loss"]
+
+    g0 = jax.grad(total_loss)(params, cfg)
+    g1 = jax.grad(total_loss)(params, cfg.replace(use_pallas_bwd=True))
+    f0, _ = ravel_pytree(g0)
+    f1, _ = ravel_pytree(g1)
+    scale = float(jnp.max(jnp.abs(f0)))
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f0), atol=1e-5 * max(scale, 1.0)
+    )
