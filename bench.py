@@ -342,7 +342,10 @@ V5E_PEAK_HBM_BPS = 8.19e11  # 819 GB/s
 # The torch-CPU reference baseline wobbles ~2.5x with host load (measured
 # 102-262 enc/s across hours of runs; the 262 reading is an idle host,
 # 2026-08-18), so the headline ratio quotes this measured band alongside
-# the same-session point.
+# the same-session point. The live point can even fall BELOW the band when
+# something else is chewing the host during bench (an 86.5 reading was
+# taken concurrently with a pytest lane) — the band is the calibrated
+# anchor, the point is this session's weather.
 BASELINE_BAND_ENC_S = (102.0, 262.0)
 
 

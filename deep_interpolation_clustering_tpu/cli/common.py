@@ -103,13 +103,37 @@ def make_datasets(cfg: Config) -> Dict[str, ArrayDataset]:
 
 
 def init_run(cfg: Config, stage: str) -> str:
+    init_multihost(cfg)
     set_seed(cfg.seed)
     enable_compilation_cache(cfg)
     exp_path = os.path.join(cfg.results_path, stage)
     os.makedirs(exp_path, exist_ok=True)
-    cfg.save(exp_path)
+    from ..parallel import is_main_process
+
+    if is_main_process():
+        cfg.save(exp_path)
     logger.info("run dir: %s", exp_path)
     return exp_path
+
+
+def init_multihost(cfg: Config) -> None:
+    """`jax.distributed` setup when the multi-process flags are set; must
+    run before the first device use (init_run does). `num_processes>0`
+    with an empty coordinator address uses TPU-pod auto-discovery."""
+    if cfg.num_processes <= 0:
+        return
+    from ..parallel import multihost
+
+    multihost.initialize(
+        cfg.coordinator_address or None, cfg.num_processes, cfg.process_id
+    )
+    import jax
+
+    logger.info(
+        "multihost: process %d/%d, %d global / %d local devices",
+        jax.process_index(), jax.process_count(),
+        len(jax.devices()), len(jax.local_devices()),
+    )
 
 
 def enable_compilation_cache(cfg: Config) -> None:

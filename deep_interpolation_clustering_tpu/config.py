@@ -150,6 +150,19 @@ class Config:
     # number of devices in the data axis of the mesh; 0 = no mesh (single
     # device), -1 = all local devices
     data_parallel: int = 0
+    # -------- multi-host data parallelism (parallel/multihost.py) --------
+    # number of cooperating processes (hosts); 0 = single-process. When >0,
+    # every CLI stage calls jax.distributed.initialize before first device
+    # use, the data mesh spans the GLOBAL device set, and checkpoint /
+    # feature / TB writes happen on process 0 only. Every process loads
+    # the same cohort and seeds the same host RNG, so shuffle orders and
+    # schedule decisions replicate without coordination.
+    num_processes: int = 0
+    # this process's rank in [0, num_processes); required unless the
+    # coordinator auto-discovers it (TPU pods)
+    process_id: int = -1
+    # "host:port" of process 0's coordinator; empty = TPU-pod auto-discovery
+    coordinator_address: str = ""
     # persistent XLA compilation cache shared across CLI runs — cuts the
     # cold-start compile of a repeated config ~4x (measured 11s -> 2.5s on
     # the fused epoch; the reference has no compile step at all, so this

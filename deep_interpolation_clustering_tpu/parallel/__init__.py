@@ -1,3 +1,5 @@
+from . import multihost
+from .multihost import device_fetch, is_main_process
 from .mesh import (
     DATA_AXIS,
     make_mesh,
@@ -16,4 +18,7 @@ __all__ = [
     "shard_batch",
     "replicate_tree",
     "pad_batch_to",
+    "multihost",
+    "device_fetch",
+    "is_main_process",
 ]

@@ -25,11 +25,19 @@ class Summary:
         summary_items: Sequence[str] = SUMMARY_ITEMS,
         use_tensorboard: bool = True,
     ):
-        os.makedirs(log_dir, exist_ok=True)
         self.metric_items = set(metric_items)
         self.summary_items = set(summary_items)
-        self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a")
+        # multi-host: only process 0 writes (same shared-filesystem rule as
+        # checkpoints); the filter/format logic still runs everywhere so
+        # metric handling stays identical across processes
+        from ..parallel import is_main_process
+
+        self._jsonl = None
         self._tb = None
+        if not is_main_process():
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a")
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -47,7 +55,7 @@ class Summary:
                 rec[k] = v
                 if self._tb is not None:
                     self._tb.add_scalar(f"{scope}_{k}", v, global_step=step)
-        if rec:
+        if rec and self._jsonl is not None:
             rec.update(step=step, scope=scope)
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
@@ -61,6 +69,7 @@ class Summary:
                 pass
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

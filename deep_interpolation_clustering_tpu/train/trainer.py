@@ -23,7 +23,14 @@ from ..config import Config
 from ..data.loader import ArrayDataset
 from ..info import COHORT2SCOPE, METRICS, MIN_MAX_VALUES
 from ..models import init_net
-from ..parallel import make_mesh, pad_batch_to, replicate_tree, shard_batch
+from ..parallel import (
+    device_fetch,
+    is_main_process,
+    make_mesh,
+    pad_batch_to,
+    replicate_tree,
+    shard_batch,
+)
 from ..utils import logger, timer, tree_size
 from . import checkpoint as ckpt
 from .optim import LRSchedule, get_learning_rate, make_optimizer, set_learning_rate
@@ -436,7 +443,7 @@ class Trainer:
                     _fmt(jax.device_get(losses)),
                 )
         for losses, outputs, idx, n_real in (
-            (jax.device_get((l, o)) + (ix, nr)) for l, o, ix, nr in pending
+            (device_fetch((l, o)) + (ix, nr)) for l, o, ix, nr in pending
         ):
             for k, v in losses.items():
                 metrics_acc[k].append(float(v))
@@ -463,7 +470,7 @@ class Trainer:
             self._put_idx_mat(mask.reshape(n_batches, b)),
             epoch_key,
         )
-        losses, outputs = jax.device_get((losses, outputs))
+        losses, outputs = device_fetch((losses, outputs))
 
         metrics = {k: float(np.mean(v)) for k, v in losses.items()}
         logger.info("%d: %s-%s", self.epoch, scope, _fmt(metrics))
@@ -535,7 +542,9 @@ class Trainer:
         ob_pred = self.merge_ob_pred(ds, dumps)
         ob_pred = self.re_norm_data(ob_pred)
 
-        if generate_feat:
+        if generate_feat and is_main_process():
+            # multi-host: every process holds the full gathered dumps, but
+            # only one writes (the paths may be on a shared filesystem)
             folder = os.path.join(self.exp_path, "out_feat", metric)
             os.makedirs(folder, exist_ok=True)
             suffix = "_interp_eval" if self.cfg.evaluate_interpolation else ""
@@ -557,7 +566,7 @@ class Trainer:
             set_learning_rate(self.opt_state, self.lr_schedule.lr)
             metric_dict["lr"] = self.lr_schedule.lr
             improved = self.flag_dict.improved(metric_dict, self.epoch)
-            for m in improved:
+            for m in improved if is_main_process() else []:
                 path = os.path.join(self.weight_paths[m], ckpt.CKPT_NAME)
                 ckpt.save_checkpoint(
                     path, self.epoch, self.params, self.state, self.opt_state,
@@ -578,6 +587,14 @@ class Trainer:
         }
 
     def load_weight(self, metric: Optional[str] = None) -> None:
+        from ..parallel import multihost
+
+        # multi-host: checkpoints are written by process 0 only — without a
+        # barrier another process can read a best-checkpoint file that is
+        # one save behind, desynchronizing the subsequent collective
+        # placements (observed: two processes device_put different params
+        # and the validation aborts the job)
+        multihost.barrier("load_weight")
         metric = metric or self.restore_metric
         path = os.path.join(self.weight_paths[metric], ckpt.CKPT_NAME)
         if not os.path.exists(path):
