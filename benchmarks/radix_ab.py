@@ -123,10 +123,17 @@ def main():
         nv2 = nv.reshape(b * c, 1)
         k2 = k.reshape(b * c, 1)
         ref = np.asarray(jax.jit(ps._select_xla)(bits2, nv2, k2))
-        for name, fn in (
+        variants = [
             ("legacy_fullkey_30pass", jax.jit(_legacy_pallas)),
-            ("shipped_rand_radix+tiefill", jax.jit(ps._select_pallas)),
-        ):
+            ("rand_radix+tiefill_unpacked", jax.jit(ps._select_pallas)),
+        ]
+        g = ps._pack_factor(t)
+        if g >= 2:
+            variants.append((
+                f"lane_packed_g{g} (shipped at this T)",
+                jax.jit(lambda bb, n, kk, g=g: ps._select_pallas_packed(bb, n, kk, g)),
+            ))
+        for name, fn in variants:
             got = np.asarray(fn(bits2, nv2, k2))
             exact = bool((got == ref).all())
             us = time_fn(fn, bits2, nv2, k2) * 1e6

@@ -371,3 +371,32 @@ def test_config_validates_enum_fields():
     cfg = Config(matmul_precision="default", prng_impl="rbg", rng_draw_bits=16)
     with pytest.raises(ValueError, match="rng_draw_bits"):
         cfg.replace(rng_draw_bits=8)
+
+
+def test_fake_select_packed_matches_xla(rng):
+    """The lane-packed short-T kernel (`_select_pallas_packed`) must
+    produce the identical mask as the sort oracle for every pack factor,
+    including rows not divisible by the factor and T values that leave
+    lane padding (interpret mode off-TPU; on-chip exactness is asserted by
+    benchmarks/radix_ab.py)."""
+    import functools
+    from unittest import mock
+
+    from deep_interpolation_clustering_tpu.ops import pallas_select as ps
+
+    for rows, t in [(48, 48), (37, 37), (23, 100), (96, 16), (7, 192)]:
+        g = ps._pack_factor(t)
+        assert g >= 2, (rows, t)
+        bits = jnp.asarray(
+            rng.randint(0, 2**32, size=(rows, t), dtype=np.uint64).astype(np.uint32)
+        )
+        nv = rng.randint(0, t + 1, size=(rows,)).astype(np.int32)
+        k = np.where(nv > 0, np.maximum(1, nv // 2), 0).astype(np.int32)
+        nv2 = jnp.asarray(nv)[:, None]
+        k2 = jnp.asarray(k)[:, None]
+        ref = np.asarray(ps._select_xla(bits, nv2, k2))
+        with mock.patch.object(
+            ps.pl, "pallas_call", functools.partial(ps.pl.pallas_call, interpret=True)
+        ):
+            got = np.asarray(ps._select_pallas_packed(bits, nv2, k2, g))
+        np.testing.assert_array_equal(got, ref, err_msg=f"rows={rows} t={t} g={g}")
