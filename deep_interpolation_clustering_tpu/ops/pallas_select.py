@@ -283,16 +283,23 @@ def _select_pallas_packed(bits: Array, n_valid: Array, k: Array, g: int) -> Arra
     k_p = jnp.pad(k, ((0, rows_g - rows), (0, 0))).reshape(rows_phys, g)
     k_p = jnp.pad(k_p, ((0, phys_pad - rows_phys), (0, 0)))
 
-    lane = np.arange(lanes)
+    # iota-built (NOT numpy literals): this function is traced inside the
+    # custom_partitioning wrapper, which rejects closure constants
+    # (`assert not len(consts)`) — as computed values they trace clean and
+    # XLA hoists them as loop invariants inside the step scan
+    lane = jnp.arange(lanes, dtype=jnp.int32)
     seg_of = lane // t_len
     in_seg = seg_of < g
-    pos = np.where(in_seg, lane % t_len, np.iinfo(np.int32).max)[None, :]
-    seg = (in_seg[:, None] & (seg_of[:, None] == np.arange(g)[None, :]))
+    pos = jnp.where(in_seg, lane % t_len, jnp.int32(2**31 - 1))[None, :]
+    seg = (
+        in_seg[:, None] & (seg_of[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :])
+    ).astype(jnp.float32)
     tri = (
-        in_seg[:, None] & in_seg[None, :]
+        in_seg[:, None]
+        & in_seg[None, :]
         & (seg_of[:, None] == seg_of[None, :])
         & (lane[:, None] <= lane[None, :])
-    )
+    ).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
@@ -313,9 +320,7 @@ def _select_pallas_packed(bits: Array, n_valid: Array, k: Array, g: int) -> Arra
         out_shape=jax.ShapeDtypeStruct((phys_pad, lanes), jnp.float32),
     )(
         bits_p, nv_p, k_p,
-        jnp.asarray(pos, jnp.int32),
-        jnp.asarray(seg, jnp.float32),
-        jnp.asarray(tri, jnp.float32),
+        pos, seg, tri,
     )
     out = out[:rows_phys, : g * t_len].reshape(rows_g, t_len)
     return out[:rows] > 0
