@@ -7,9 +7,12 @@ epochs of the production fused scan under a jax.profiler trace and returns
 the per-step device duration of the epoch while-loop — the schedule's own
 length, independent of host/tunnel state.
 
-Caveat: per-op self-times in the same trace double-count against the
-while-loop total (the loop body nests them); use the WHILE total for A/B
-verdicts and op rows only for attribution.
+Caveats (measured, PARITY.md r3): per-op self-times double-count against
+the epoch-op total (nesting); and the epoch-op span under-credits
+epoch_scan_unroll's cross-step overlap — device totals read
+unroll-neutral while sustained wall slopes (benchmarks/_harness
+time_epoch) show +14%. Use this tool to RANK hotspots within one config;
+use wall slopes for cross-config verdicts.
 """
 
 from __future__ import annotations
@@ -92,12 +95,15 @@ def time_epoch_device(cfg, n_batches=20, epochs=3, keep_trace=None):
     for e in dev:
         agg[e["name"]] += e["dur"]
         cnt[e["name"]] += 1
-    # the epoch while-loop: the largest op that executed exactly `epochs`
-    # times and is named like a loop
-    whiles = [n2 for n2 in agg if cnt[n2] == epochs and n2.startswith("while")]
-    if not whiles:  # fall back: anything loop-named
-        whiles = [n2 for n2 in agg if n2.startswith("while")]
-    wname = max(whiles, key=lambda n2: agg[n2])
+    # the top-level jit op covers the WHOLE epoch — dividing the while-loop
+    # op instead silently under-counts when scan unrolling leaves a
+    # remainder block outside the loop (unroll=8 at 20 batches runs 16
+    # steps inside the while and 4 outside; the while/20 read looked 19%
+    # faster and was exactly unroll=4 parity once corrected)
+    tops = [n2 for n2 in agg if cnt[n2] == epochs and n2.startswith("jit_")]
+    if not tops:
+        tops = [n2 for n2 in agg if n2.startswith("while")]
+    wname = max(tops, key=lambda n2: agg[n2])
     us_step = agg[wname] / cnt[wname] / n_batches
     steps = epochs * n_batches
     table = {
