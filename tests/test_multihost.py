@@ -124,3 +124,46 @@ def test_multihost_two_process_matches_single(tmp_path):
         # the cross-process reduction-order drift through Adam's eps
         # denominator (observed here: 2/65536 elements at 2.3e-5)
         np.testing.assert_allclose(za[k], zb[k], atol=1e-3, err_msg=k)
+
+    # ---- DEC stage (p3): kmeans center init from gathered latents, KL
+    # training, delta stopping — each process initializes centers from its
+    # own identical gathered latents (replicated local compute, no
+    # collectives) and the joint training runs over the global mesh
+    p3_args = [
+        "--batch_size", "16", "--num_timestamps", "16", "--max_epochs", "2",
+        "--data_parallel", "-1", "--early_stopping", "100",
+        "--cluster_number", "3", "--kmeans_n_init", "3",
+    ] + cache_args
+    _wait(_run(("p3", p3_args + ["--results_path", "Results_single"]),
+               str(tmp_path), 8))
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(_run(
+            ("p3", p3_args + [
+                "--results_path", "Results_multi",
+                "--num_processes", "2", "--process_id", str(pid),
+                "--coordinator_address", f"127.0.0.1:{port}",
+            ]),
+            str(tmp_path), 4,
+        ))
+    for p in procs:
+        _wait(p)
+
+    for cohort in ("training", "testing"):
+        a = np.load(
+            tmp_path / "Results_single" / "Clustering" / "out_feat" / "delta"
+            / f"{cohort}.npy", allow_pickle=True,
+        ).item()
+        b = np.load(
+            tmp_path / "Results_multi" / "Clustering" / "out_feat" / "delta"
+            / f"{cohort}.npy", allow_pickle=True,
+        ).item()
+        np.testing.assert_allclose(a["hidden"], b["hidden"], atol=1e-4)
+        # the DEC argmax labels must agree exactly (soft assignments are
+        # well-separated after 2 epochs at this scale; any flip would mean
+        # a real divergence, not noise)
+        np.testing.assert_array_equal(
+            np.argmax(a["cluster_pred"], axis=1),
+            np.argmax(b["cluster_pred"], axis=1),
+        )
