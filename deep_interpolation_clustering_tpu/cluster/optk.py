@@ -41,11 +41,19 @@ def _read_gap_csv(path: str) -> List[Dict]:
 
 def _maybe_plot(fn):
     """Run a plotting closure if matplotlib is importable; never fatal.
+    Multi-host: figures (like every artifact write here) are
+    process-0-only — the analytics COMPUTE runs on all processes (GSPMD
+    collectives need every participant), only the filesystem output is
+    deduplicated.
     The closure runs under a seaborn-whitegrid/poster-like style built from
     plain matplotlib rcParams (the reference styles its p2 figures with
     `sns.set(style="whitegrid"); sns.set_context("poster")` and the tab10
     palette — p2_clustering_optK.py:299-330; seaborn itself stays out of
     the dependency surface)."""
+    from ..parallel import is_main_process
+
+    if not is_main_process():
+        return
     try:
         import matplotlib
 
@@ -149,10 +157,13 @@ class KSelection:
             valid_d.append(float(mean_min_distance(result.centers, valid_feat)))
         knee = kneedle(np.array(ks), np.array(train_d), "convex", "decreasing")
         out = {"k": ks, "train": train_d, "valid": valid_d, "elbow_k": knee}
-        with open(os.path.join(self.out_path, "elbow.csv"), "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["k", "train_distortion", "valid_distortion"])
-            w.writerows(zip(ks, train_d, valid_d))
+        from ..parallel import is_main_process
+
+        if is_main_process():
+            with open(os.path.join(self.out_path, "elbow.csv"), "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["k", "train_distortion", "valid_distortion"])
+                w.writerows(zip(ks, train_d, valid_d))
         if plot:
             def draw(plt):
                 for cohort, d in (("train", train_d), ("valid", valid_d)):
@@ -239,7 +250,11 @@ class KSelection:
                 "act": act,
                 "ref_s": ref_s,
             }
-            labels = np.asarray(r.labels)
+            # device_fetch: under a multi-process mesh the labels are
+            # row-sharded and a plain asarray cannot address remote shards
+            from ..parallel import device_fetch
+
+            labels = device_fetch(r.labels)
             row.update(compute_internal_metrics(names, data, labels, k))
             logger.info(
                 "k: %d, gap: %.4f, ref: %.4f, act: %.4f, ref_s: %.4f",
@@ -247,8 +262,11 @@ class KSelection:
             )
             rows.append(row)
         out = self._gap_summary(rows, names, csv_path, plot)
-        with open(csv_path + ".fp", "w") as f:
-            f.write(fp)
+        from ..parallel import is_main_process
+
+        if is_main_process():
+            with open(csv_path + ".fp", "w") as f:
+                f.write(fp)
         return out
 
     def _gap_fingerprint(
@@ -316,7 +334,9 @@ class KSelection:
                 break
         opt_k_argmax = max(rows, key=lambda r: r["gap"])["k"]
 
-        if write_csv:
+        from ..parallel import is_main_process
+
+        if write_csv and is_main_process():
             # atomic: a process killed mid-write must not leave a partial
             # table for a later reuse to trip over
             tmp = csv_path + ".tmp"
