@@ -344,8 +344,12 @@ def _select_xla(bits: Array, n_valid: Array, k: Array) -> Array:
 
 def _select_local(bits: Array, n_valid: Array, k: Array) -> Array:
     """Backend-routed local (per-shard) computation."""
-    if jax.default_backend() == "tpu":
-        g = _pack_factor(bits.shape[-1])
+    t_len = bits.shape[-1]
+    if jax.default_backend() == "tpu" and t_len <= 1024:
+        # past t_pad=1024 the (T, T) tie-fill triangle alone is >4 MB of
+        # VMEM — hand such (never-seen; production T=354) shapes to the
+        # sort fallback rather than budget-tuning for them
+        g = _pack_factor(t_len)
         if g >= 2:
             return _select_pallas_packed(bits, n_valid, k, g)
         return _select_pallas(bits, n_valid, k)

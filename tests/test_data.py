@@ -400,3 +400,28 @@ def test_fake_select_packed_matches_xla(rng):
         ):
             got = np.asarray(ps._select_pallas_packed(bits, nv2, k2, g))
         np.testing.assert_array_equal(got, ref, err_msg=f"rows={rows} t={t} g={g}")
+
+
+def test_fake_select_unpacked_t200_matches_xla(rng):
+    """Unpacked kernel at a mid-size T (pack factor 1, 2-lane-tile pad):
+    interpret-mode exactness vs the sort oracle."""
+    import functools
+    from unittest import mock
+
+    from deep_interpolation_clustering_tpu.ops import pallas_select as ps
+
+    rows, t = 19, 200
+    assert ps._pack_factor(t) == 1
+    bits = jnp.asarray(
+        rng.randint(0, 2**32, size=(rows, t), dtype=np.uint64).astype(np.uint32)
+    )
+    nv = rng.randint(0, t + 1, size=(rows,)).astype(np.int32)
+    k = np.where(nv > 0, np.maximum(1, nv // 2), 0).astype(np.int32)
+    nv2 = jnp.asarray(nv)[:, None]
+    k2 = jnp.asarray(k)[:, None]
+    ref = np.asarray(ps._select_xla(bits, nv2, k2))
+    with mock.patch.object(
+        ps.pl, "pallas_call", functools.partial(ps.pl.pallas_call, interpret=True)
+    ):
+        got = np.asarray(ps._select_pallas(bits, nv2, k2))
+    np.testing.assert_array_equal(got, ref)
