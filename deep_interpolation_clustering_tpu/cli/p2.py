@@ -13,7 +13,12 @@ import os
 from ..cluster import DbscanExplorer, KSelection, OpticsExplorer, load_feature_dumps
 from ..parallel import make_mesh
 from ..utils import logger
-from .common import build_parser, config_from_args
+from .common import (
+    build_parser,
+    config_from_args,
+    enable_compilation_cache,
+    init_multihost,
+)
 
 
 def main(argv=None):
@@ -24,6 +29,10 @@ def main(argv=None):
                         choices=["kmeans", "dbscan", "optics"])
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    # multihost must initialize before first device use (the analytics
+    # COMPUTE runs on every process; only writes are process-0-only)
+    init_multihost(cfg)
+    enable_compilation_cache(cfg)
     exp_path = os.path.join(cfg.results_path, args.stage)
     # same data_parallel semantics as the trainers: the mesh row-shards the
     # latents so the K-sweep's k-means fits run data-parallel (KSelection)

@@ -11,7 +11,12 @@ import os
 
 from ..cluster import FinalLabeler
 from ..utils import logger
-from .common import build_parser, config_from_args
+from .common import (
+    build_parser,
+    config_from_args,
+    enable_compilation_cache,
+    init_multihost,
+)
 
 
 def main(argv=None):
@@ -20,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--restore_metrics", nargs="+", default=["ae_mse", "loss", "delta"])
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    init_multihost(cfg)
+    enable_compilation_cache(cfg)
     exp_path = os.path.join(cfg.results_path, args.stage)
 
     results = FinalLabeler(cfg, exp_path).pred(metrics=args.restore_metrics, seed=cfg.seed)

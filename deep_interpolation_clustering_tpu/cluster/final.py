@@ -22,6 +22,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..parallel import is_main_process
+
 from ..config import Config
 from ..info import COHORTS
 from ..utils import logger
@@ -108,7 +110,8 @@ class FinalLabeler:
             d["cluster_id"] = labels
             d.pop("ob", None)
             d.pop("padding_mask", None)
-            np.save(os.path.join(out_path, f"{cohort}_{opt_k}.npy"), d)
+            if is_main_process():  # multi-host: single writer
+                np.save(os.path.join(out_path, f"{cohort}_{opt_k}.npy"), d)
             out[cohort] = labels
         return out
 
@@ -145,7 +148,8 @@ class FinalLabeler:
             logger.info("dbscan %s quality: %s", cohort, quality)
             d.pop("ob", None)
             d.pop("padding_mask", None)
-            np.save(os.path.join(out_path, f"{cohort}_eps-{cfg.opt_eps}.npy"), d)
+            if is_main_process():  # multi-host: single writer
+                np.save(os.path.join(out_path, f"{cohort}_eps-{cfg.opt_eps}.npy"), d)
             out[cohort] = aligned
         return out
 
@@ -178,7 +182,8 @@ class FinalLabeler:
             d["cluster_id"] = new
             d.pop("ob", None)
             d.pop("padding_mask", None)
-            np.save(os.path.join(out_path, f"{cohort}_{opt_k}.npy"), d)
+            if is_main_process():  # multi-host: single writer
+                np.save(os.path.join(out_path, f"{cohort}_{opt_k}.npy"), d)
             out[cohort] = new
         return out
 
@@ -196,6 +201,7 @@ class FinalLabeler:
                 d.pop(k, None)
             d.pop("ob", None)
             d.pop("padding_mask", None)
-            np.save(os.path.join(out_path, f"{cohort}_{opt_k}.npy"), d)
+            if is_main_process():  # multi-host: single writer
+                np.save(os.path.join(out_path, f"{cohort}_{opt_k}.npy"), d)
             out[cohort] = d["cluster_id"]
         return out
