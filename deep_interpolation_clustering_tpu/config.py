@@ -327,6 +327,12 @@ class Config:
                 raise ValueError(
                     f"Config.{name}={getattr(self, name)} must be >= 1"
                 )
+        if self.use_pallas and self.use_pallas_bwd:
+            raise ValueError(
+                "use_pallas and use_pallas_bwd are mutually exclusive: the "
+                "Pallas-forward path carries its own (XLA-replay) VJP, so "
+                "the fused backward would silently not run"
+            )
         if self.k_max < 2:
             # the K sweeps run 2..k_max; an empty sweep crashes the gap
             # summary far from the flag that caused it

@@ -73,20 +73,29 @@ def bilstm_forward(
         # fused Mosaic recurrence (ops/pallas_lstm.py): weights stay VMEM-
         # resident across the whole T-step chain, the bwd stream indexes
         # time directly (no flip/stack relayouts), and the hand-written
-        # backward kernel replaces XLA's unrolled reverse scan
+        # backward kernel replaces XLA's unrolled reverse scan.
+        # The kernel pair is f32-only (gate math and the hand-written VJP
+        # both accumulate/emit f32): under compute_dtype='bfloat16' the
+        # recurrence upcasts at this boundary and casts back, so the
+        # custom_vjp's primal/cotangent dtypes stay consistent
         from .pallas_lstm import bilstm_recurrence_pallas
 
+        in_dtype = x.dtype
+        f32 = jnp.float32
         w_hhT = jnp.stack(
             [params["fwd"]["w_hh"].T, params["bwd"]["w_hh"].T]
-        )  # (2, H, 4H)
-        b_hh2 = jnp.stack([params["fwd"]["b_hh"], params["bwd"]["b_hh"]])
+        ).astype(f32)  # (2, H, 4H)
+        b_hh2 = jnp.stack(
+            [params["fwd"]["b_hh"], params["bwd"]["b_hh"]]
+        ).astype(f32)
         ysf, ysb, csf, csb = bilstm_recurrence_pallas(
-            xg_f, xg_b, w_hhT, b_hh2,
-            jnp.stack([h0_f, h0_b]), jnp.stack([c0_f, c0_b]),
+            xg_f.astype(f32), xg_b.astype(f32), w_hhT, b_hh2,
+            jnp.stack([h0_f, h0_b]).astype(f32),
+            jnp.stack([c0_f, c0_b]).astype(f32),
         )
-        output = jnp.concatenate([ysf, ysb], axis=-1)  # ysb time-aligned
-        h_t = jnp.stack([ysf[-1], ysb[0]])  # final state per direction
-        c_t = jnp.stack([csf[-1], csb[0]])
+        output = jnp.concatenate([ysf, ysb], axis=-1).astype(in_dtype)
+        h_t = jnp.stack([ysf[-1], ysb[0]]).astype(in_dtype)  # final states
+        c_t = jnp.stack([csf[-1], csb[0]]).astype(in_dtype)
         return output, h_t, c_t
 
     xg = jnp.stack([xg_f, jnp.flip(xg_b, axis=0)], axis=1)  # (T, 2, B, 4H)

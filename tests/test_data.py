@@ -371,6 +371,10 @@ def test_config_validates_enum_fields():
     cfg = Config(matmul_precision="default", prng_impl="rbg", rng_draw_bits=16)
     with pytest.raises(ValueError, match="rng_draw_bits"):
         cfg.replace(rng_draw_bits=8)
+    # the Pallas-forward path carries its own XLA-replay VJP, so combining
+    # it with the fused backward would silently never run the latter
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Config(use_pallas=True, use_pallas_bwd=True)
 
 
 def test_fake_select_packed_matches_xla(rng):

@@ -146,6 +146,41 @@ def test_full_model_pallas_lstm_parity(rng):
     )
 
 
+def test_bilstm_pallas_bf16_boundary(rng):
+    """Under compute_dtype='bfloat16' the Mosaic recurrence upcasts at its
+    boundary (the kernel pair is f32-only) and casts back: outputs keep the
+    caller's dtype, values track the bf16 scan path, and gradients flow
+    without custom_vjp dtype mismatches."""
+    from deep_interpolation_clustering_tpu.ops.lstm import (
+        bilstm_forward,
+        lstm_init,
+    )
+
+    t_len, b, feat, hidden = 6, 9, 18, 128
+    params = lstm_init(jax.random.PRNGKey(1), feat, hidden)
+    bf16 = jnp.bfloat16
+    params16 = jax.tree.map(lambda a: a.astype(bf16), params)
+    x16 = jax.random.normal(jax.random.PRNGKey(2), (t_len, b, feat), bf16)
+
+    o1, h1, c1 = bilstm_forward(params16, x16, use_pallas=False)
+    o2, h2, c2 = bilstm_forward(params16, x16, use_pallas=True)
+    assert o2.dtype == bf16 and h2.dtype == bf16 and c2.dtype == bf16
+    # the scan path computes gates in bf16, the kernel in f32 — agreement
+    # is bounded by bf16 resolution on the tanh-bounded outputs
+    np.testing.assert_allclose(
+        np.asarray(o2, np.float32), np.asarray(o1, np.float32), atol=3e-2
+    )
+
+    def loss(p):
+        o, h, c = bilstm_forward(p, x16, use_pallas=True)
+        return jnp.sum(o.astype(jnp.float32))
+
+    g = jax.grad(loss)(params16)
+    flat = jax.tree.leaves(g)
+    assert all(a.dtype == bf16 for a in flat)
+    assert all(bool(jnp.all(jnp.isfinite(a.astype(jnp.float32)))) for a in flat)
+
+
 def test_sci_hybrid_bwd_matches_autodiff(rng):
     """sci_forward_hybrid: identical XLA forward (parity surface intact),
     fused Pallas VJP. Gradients must match XLA autodiff to f32 rounding on
