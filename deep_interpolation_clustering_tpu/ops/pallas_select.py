@@ -56,7 +56,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
@@ -213,9 +212,16 @@ def _select_kernel_packed(
     Inputs per tile: bits (TILE, L) uint32; nv/k (TILE, G) int32;
     pos (1, L) int32 position-within-segment (HUGE on pad lanes);
     seg (L, G) f32 one-hot segment membership; tri (L, L) f32
-    within-segment inclusive upper-triangle. All in-kernel dots run at
-    HIGHEST precision: operands are integer-valued and < 2^24, so the
-    bf16-triple decomposition is exact and the f32 accumulations are exact.
+    within-segment inclusive upper-triangle.
+
+    EXACTNESS INVARIANT: every in-kernel dot runs at DEFAULT matmul
+    precision (single-pass bf16 operands, f32 accumulation). That is
+    exact here ONLY because every operand is 0/1 or an integer <= 192
+    (< 2^8, bf16-exact) — the one value spanning the full 2^nbits range
+    (the radix threshold) is never a dot operand; it lives lane-expanded
+    and is updated by exact 0/1-digit increments in int32. Anything that
+    raises a dot-operand bound past 256 (bigger pack T, count semantics)
+    must revisit this or the sort-oracle bit-identity breaks.
     """
     f32 = jnp.float32
 
@@ -345,10 +351,12 @@ def _select_xla(bits: Array, n_valid: Array, k: Array) -> Array:
 def _select_local(bits: Array, n_valid: Array, k: Array) -> Array:
     """Backend-routed local (per-shard) computation."""
     t_len = bits.shape[-1]
-    if jax.default_backend() == "tpu" and t_len <= 1024:
-        # past t_pad=1024 the (T, T) tie-fill triangle alone is >4 MB of
-        # VMEM — hand such (never-seen; production T=354) shapes to the
-        # sort fallback rather than budget-tuning for them
+    if jax.default_backend() == "tpu" and t_len <= 512:
+        # the unpacked kernel's VMEM accounting (_row_tile) is validated
+        # to T <= 512 (production is 354); longer shapes would also grow
+        # the (T, T) tie-fill triangle toward the 16 MB scoped limit —
+        # hand them to the bit-identical sort fallback rather than
+        # budget-tuning for never-seen sizes
         g = _pack_factor(t_len)
         if g >= 2:
             return _select_pallas_packed(bits, n_valid, k, g)
