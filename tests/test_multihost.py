@@ -67,6 +67,92 @@ def _free_port():
 
 
 @pytest.mark.slow
+def test_multihost_p2_p4_match_single(tmp_path):
+    """The analytics CLIs (p2 K-selection, p4 final labels) run under
+    `jax.distributed` too: every process computes (p2's K sweep over the
+    global mesh via --data_parallel -1; p4's k-means as replicated local
+    compute) and only process 0 writes. Two cooperating processes must
+    produce the same CSVs/labels as one process over the same dumps."""
+    import shutil
+
+    cache = str(tmp_path / "xlacache")
+    cache_args = ["--compilation_cache_dir", cache]
+
+    # one tiny p0+p1 to produce the latent dumps both runs read
+    _wait(_run(("p0", P0_ARGS), str(tmp_path), 8))
+    _wait(_run(("p1", P1_ARGS + ["--results_path", "Results_single"]
+                + cache_args), str(tmp_path), 8))
+    shutil.copytree(tmp_path / "Results_single", tmp_path / "Results_multi")
+
+    p2_args = [
+        "--restore_metrics", "ae_mse", "--k_max", "4", "--n_init", "2",
+        "--gap_b", "2", "--data_parallel", "-1",
+    ] + cache_args
+    _wait(_run(("p2", p2_args + ["--results_path", "Results_single"]),
+               str(tmp_path), 8))
+    port = _free_port()
+    procs = [
+        _run(("p2", p2_args + [
+            "--results_path", "Results_multi",
+            "--num_processes", "2", "--process_id", str(pid),
+            "--coordinator_address", f"127.0.0.1:{port}",
+        ]), str(tmp_path), 4)
+        for pid in range(2)
+    ]
+    for p in procs:
+        _wait(p)
+
+    import pandas as pd
+
+    for csv in ("gap_sts_v1.csv", "elbow.csv"):
+        a = pd.read_csv(
+            tmp_path / "Results_single" / "Pretrain" / "opt_k" / "ae_mse"
+            / "plot" / csv
+        )
+        b = pd.read_csv(
+            tmp_path / "Results_multi" / "Pretrain" / "opt_k" / "ae_mse"
+            / "plot" / csv
+        )
+        assert list(a.columns) == list(b.columns), csv
+        np.testing.assert_allclose(
+            a.to_numpy(float), b.to_numpy(float), rtol=1e-5, atol=1e-6,
+            err_msg=csv,
+        )
+
+    # p4 over the Pretrain dumps (kmeans path); labels must agree exactly
+    p4_args = [
+        "--stage", "Pretrain", "--restore_metrics", "ae_mse",
+        "--cluster_method", "kmeans", "--num_clusters", "3",
+        "--kmeans_n_init", "3",
+    ] + cache_args
+    _wait(_run(("p4", p4_args + ["--results_path", "Results_single"]),
+               str(tmp_path), 8))
+    port = _free_port()
+    procs = [
+        _run(("p4", p4_args + [
+            "--results_path", "Results_multi",
+            "--num_processes", "2", "--process_id", str(pid),
+            "--coordinator_address", f"127.0.0.1:{port}",
+        ]), str(tmp_path), 4)
+        for pid in range(2)
+    ]
+    for p in procs:
+        _wait(p)
+
+    for cohort in ("training", "validation", "testing"):
+        a = np.load(
+            tmp_path / "Results_single" / "Pretrain" / "out_feat"
+            / "ae_mse_kmeans_aligned" / f"{cohort}_3.npy", allow_pickle=True,
+        ).item()
+        b = np.load(
+            tmp_path / "Results_multi" / "Pretrain" / "out_feat"
+            / "ae_mse_kmeans_aligned" / f"{cohort}_3.npy", allow_pickle=True,
+        ).item()
+        np.testing.assert_array_equal(a["encounter_id"], b["encounter_id"])
+        np.testing.assert_array_equal(a["cluster_id"], b["cluster_id"])
+
+
+@pytest.mark.slow
 def test_multihost_two_process_matches_single(tmp_path):
     cache = str(tmp_path / "xlacache")
     cache_args = ["--compilation_cache_dir", cache]
