@@ -36,6 +36,23 @@ def main(argv=None):
     parser.add_argument("--synthetic_phenotypes", type=int, default=4)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    # p0 is host-side preprocessing with no device work: under a multi-host
+    # launch only ONE rank may write the pickles (concurrent writers on a
+    # shared filesystem tear them), and there are no collectives to need
+    # jax.distributed — gate on the explicit rank flag instead
+    if cfg.num_processes > 1:
+        if cfg.process_id < 0:
+            parser.error(
+                "p0 with --num_processes > 1 needs an explicit --process_id "
+                "(it is host-side preprocessing: rank 0 writes, others skip; "
+                "simplest is to run p0 once on one host before the launch)"
+            )
+        if cfg.process_id != 0:
+            logger.info(
+                "p0: process %d skipping (rank 0 writes the pickles)",
+                cfg.process_id,
+            )
+            return
     set_seed(cfg.seed)
     rng = np.random.RandomState(cfg.seed)
 

@@ -24,6 +24,7 @@ import jax
 import numpy as np
 
 from ..config import Config
+from ..parallel import device_fetch, is_main_process
 from ..utils import logger
 from .kmeans import kmeans_fit, mean_min_distance
 from .kneedle import kneedle
@@ -50,8 +51,6 @@ def _maybe_plot(fn):
     `sns.set(style="whitegrid"); sns.set_context("poster")` and the tab10
     palette — p2_clustering_optK.py:299-330; seaborn itself stays out of
     the dependency surface)."""
-    from ..parallel import is_main_process
-
     if not is_main_process():
         return
     try:
@@ -157,8 +156,6 @@ class KSelection:
             valid_d.append(float(mean_min_distance(result.centers, valid_feat)))
         knee = kneedle(np.array(ks), np.array(train_d), "convex", "decreasing")
         out = {"k": ks, "train": train_d, "valid": valid_d, "elbow_k": knee}
-        from ..parallel import is_main_process
-
         if is_main_process():
             with open(os.path.join(self.out_path, "elbow.csv"), "w", newline="") as f:
                 w = csv.writer(f)
@@ -210,11 +207,15 @@ class KSelection:
         inertia = inertia_v1 if version == 1 else inertia_v2
         # invalidate-first: a crash anywhere between here and the fp write
         # at the end leaves CSV-without-fp (recompute next run) rather than
-        # new-CSV-with-stale-fp (silent reuse of the wrong table)
-        try:
-            os.remove(csv_path + ".fp")
-        except OSError:
-            pass
+        # new-CSV-with-stale-fp (silent reuse of the wrong table).
+        # Process-0-only like every artifact write: without a mesh the
+        # processes free-run, and a lagging rank's remove could land AFTER
+        # rank 0's fresh end-of-sweep fp write
+        if is_main_process():
+            try:
+                os.remove(csv_path + ".fp")
+            except OSError:
+                pass
         lo, rng_width = float(data.min()), float(data.max() - data.min())
         data_dev = self._put_rows(data)  # after the fingerprint: it hashes host bytes
         rng = np.random.RandomState(seed)
@@ -252,8 +253,6 @@ class KSelection:
             }
             # device_fetch: under a multi-process mesh the labels are
             # row-sharded and a plain asarray cannot address remote shards
-            from ..parallel import device_fetch
-
             labels = device_fetch(r.labels)
             row.update(compute_internal_metrics(names, data, labels, k))
             logger.info(
@@ -262,8 +261,6 @@ class KSelection:
             )
             rows.append(row)
         out = self._gap_summary(rows, names, csv_path, plot)
-        from ..parallel import is_main_process
-
         if is_main_process():
             with open(csv_path + ".fp", "w") as f:
                 f.write(fp)
@@ -333,8 +330,6 @@ class KSelection:
                 opt_k = rows[i]["k"]
                 break
         opt_k_argmax = max(rows, key=lambda r: r["gap"])["k"]
-
-        from ..parallel import is_main_process
 
         if write_csv and is_main_process():
             # atomic: a process killed mid-write must not leave a partial

@@ -341,9 +341,18 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    # per-process runtime topology: a rank and a coordinator host:port are
+    # meaningful only for the launch that set them — reloading them via
+    # `--config` would make a later single-process run block in
+    # jax.distributed.initialize waiting on peers that never start (and a
+    # re-launched multi-host run would give every rank process_id 0)
+    _RUNTIME_ONLY = ("num_processes", "process_id", "coordinator_address")
+
     # ---- (de)serialization --------------------------------------------
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
+        for k in self._RUNTIME_ONLY:
+            d.pop(k, None)
         return json.dumps(d, indent=2, sort_keys=True)
 
     def save(self, run_dir: str, name: str = "config") -> str:
@@ -363,6 +372,7 @@ class Config:
         with open(path) as f:
             d = json.load(f)
         known = {f.name for f in dataclasses.fields(cls)}
+        known -= set(cls._RUNTIME_ONLY)  # configs saved before the exclusion
         d = {k: v for k, v in d.items() if k in known}
         d.update(overrides)
         # JSON round-trips tuples as lists — coerce back for every

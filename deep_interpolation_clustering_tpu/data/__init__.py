@@ -6,7 +6,7 @@ from .preprocess import (
     process_splits,
 )
 from .synthetic import make_synthetic_cohorts
-from .loader import ArrayDataset, make_fake_ob, augment_batch, stack_input
+from .loader import ArrayDataset, make_fake_ob, augment_batch
 from .abnormal import extract_abnormal_vitals
 
 __all__ = [
@@ -19,6 +19,5 @@ __all__ = [
     "ArrayDataset",
     "make_fake_ob",
     "augment_batch",
-    "stack_input",
     "extract_abnormal_vitals",
 ]

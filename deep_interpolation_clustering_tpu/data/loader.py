@@ -24,14 +24,6 @@ from ..utils import logger
 Array = jax.Array
 
 
-def stack_input(ob, padding_mask, timestamp, ae_mask):
-    """Stack the four `(B, C, T)` planes to `(B, 4C, T)` in the canonical
-    order [ob | padding_mask | timestamp | ae_mask]
-    (reference dataloader.py:67-69)."""
-    concat = jnp.concatenate if isinstance(ob, jax.Array) else np.concatenate
-    return concat([ob, padding_mask, timestamp, ae_mask], axis=1)
-
-
 class ArrayDataset:
     """A cohort as dense arrays, pre-scaled once at construction.
 

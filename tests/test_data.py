@@ -377,6 +377,37 @@ def test_config_validates_enum_fields():
         Config(use_pallas=True, use_pallas_bwd=True)
 
 
+def test_config_roundtrip_drops_runtime_topology(tmp_path):
+    """A multi-host rank's config.json must NOT carry its process rank or
+    coordinator address: `--config` reloading them would make a later
+    single-process run block in jax.distributed.initialize waiting on
+    peers that never start."""
+    import json
+
+    from deep_interpolation_clustering_tpu import Config
+
+    cfg = Config(
+        num_processes=2, process_id=1,
+        coordinator_address="127.0.0.1:1234", batch_size=64,
+    )
+    path = cfg.save(str(tmp_path))
+    with open(path) as f:
+        stored = json.load(f)
+    for k in ("num_processes", "process_id", "coordinator_address"):
+        assert k not in stored
+    # a config saved BEFORE the exclusion (topology fields present) must
+    # also reload clean
+    stored["num_processes"] = 2
+    stored["process_id"] = 1
+    stored["coordinator_address"] = "127.0.0.1:1234"
+    legacy = tmp_path / "legacy.json"
+    legacy.write_text(json.dumps(stored))
+    loaded = Config.load(str(legacy))
+    assert loaded.num_processes == 0 and loaded.process_id == -1
+    assert loaded.coordinator_address == ""
+    assert loaded.batch_size == 64
+
+
 def test_fake_select_packed_matches_xla(rng):
     """The lane-packed short-T kernel (`_select_pallas_packed`) must
     produce the identical mask as the sort oracle for every pack factor,
