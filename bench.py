@@ -378,24 +378,28 @@ def main():
     except Exception as e:  # never let the DEC bench kill the headline line
         print(f"DEC bench unavailable: {e}", file=sys.stderr)
         dec, dec_cost = None, {}
-    # Peak-throughput config from the r3 frontier sweep
-    # (benchmarks/sweep_frontier.py, table in PARITY.md): B=256 at
-    # matmul_precision="default" — throughput FALLS with batch at T=354
-    # (bandwidth-bound step), so the parity batch is also the peak batch and
-    # only the precision differs. The headline `value` stays the
-    # parity-gated production config ("high", machine-checked above).
-    # plus the two opt-in throughput knobs (interleaved 2x2 measurement,
-    # PARITY.md r3): epoch_scan_unroll=4 (trades fused==stepped bit-identity
-    # for reduction-order drift) and prng_impl="rbg" (trades cross-
-    # backend/sharding RNG determinism for the hardware RNG). `tuned` keeps
-    # the parity-gated "high" matmuls — every numeric contract that matters
-    # for eval parity still holds; `peak` adds bf16 matmuls on top.
+    # Peak/tuned configs from the r3 frontier sweeps (benchmarks/
+    # sweep_frontier.py, tables in PARITY.md) plus the two opt-in
+    # throughput knobs (interleaved measurements, PARITY.md r3):
+    # epoch_scan_unroll=4 (trades fused==stepped bit-identity for
+    # reduction-order drift) and prng_impl="rbg" (trades cross-backend/
+    # sharding RNG determinism for the hardware RNG). The headline `value`
+    # stays the parity-gated production config (B=256, "high",
+    # machine-checked above). `tuned` keeps the parity-gated "high"
+    # matmuls at the production batch — every numeric contract that
+    # matters for eval parity still holds (B=512 buys nothing under
+    # unroll=4, which already provides the cross-step overlap bigger
+    # batches otherwise would; interleaved 2-rep r3 measurement).
+    # `peak` adds bf16 matmuls AND B=512 on top: at "default" precision
+    # B=512 reads a consistent +3-4% over 256 (667k vs 639k / 632 vs 615,
+    # same-rep interleaved pairs).
     # single source of truth: these kwargs dicts ARE both the bench_ours
     # arguments and the *_config records in the JSON line — hand-copied
     # literals drifted once already
     tuned_kwargs = {"batch": BATCH, "matmul_precision": "high",
                     "epoch_scan_unroll": 4, "prng_impl": "rbg"}
-    peak_kwargs = {**tuned_kwargs, "matmul_precision": "default"}
+    peak_kwargs = {**tuned_kwargs, "batch": 512,
+                   "matmul_precision": "default"}
     try:
         tuned, tuned_cost = bench_ours(**tuned_kwargs)
     except Exception as e:

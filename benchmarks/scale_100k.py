@@ -4,10 +4,16 @@ batches, data-parallel when >1 device) plus the on-device gap statistic
 over the latents.
 
 Prints one JSON line per phase.
+
+`--max_obs 354 --batch_size 256` measures the PRODUCTION sequence shape
+at the 100k scale: the four (100k, 6, 354) f32 planes are ~3.4 GB —
+device-resident in HBM like every cohort here, proving the fused-epoch
+design holds when the data is production-sized in BOTH axes.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -33,21 +39,30 @@ MAX_OBS = 48
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=N)
+    ap.add_argument("--max_obs", type=int, default=MAX_OBS)
+    # B=4096 measured best at the T=48 default (1024: ~127k, 4096: ~199k,
+    # 8192: ~184k enc/s): tiny-T steps are per-op-overhead-bound, so fewer,
+    # larger steps win until HBM working-set pressure pushes back. At
+    # T=354 the frontier reverses (PARITY.md): pass --batch_size 256 there.
+    ap.add_argument("--batch_size", type=int, default=4096)
+    ap.add_argument("--skip_analytics", action="store_true",
+                    help="epoch timing only (skip latents + gap statistic)")
+    args = ap.parse_args()
+
     t0 = time.time()
     cohorts = process_splits(
-        make_synthetic_cohorts(n_total=N, max_obs=MAX_OBS),
+        make_synthetic_cohorts(n_total=args.n, max_obs=args.max_obs),
         rng=np.random.RandomState(0),
     )
     print(json.dumps({"metric": "p0_100k_seconds", "value": round(time.time() - t0, 1)}))
 
-    # B=4096 measured best at this scale (1024: ~127k, 4096: ~199k, 8192:
-    # ~184k enc/s): T=48 steps are per-op-overhead-bound, so fewer, larger
-    # steps win until HBM working-set pressure pushes back.
     # epoch_scan_unroll=4: +7% on the fused T=48 epoch (benchmarks/
     # unroll_sweep.py, r3) — this analytics bench carries no fused==stepped
     # bit-identity contract, so the drift trade is free here.
     cfg = Config(
-        batch_size=4096, num_timestamps=MAX_OBS, max_epochs=3,
+        batch_size=args.batch_size, num_timestamps=args.max_obs, max_epochs=3,
         log_train_freq=10_000, log_valid_freq=10_000, early_stopping=10_000,
         epoch_scan_unroll=4,
     )
@@ -97,6 +112,9 @@ def main():
         "encounters_per_sec": round(n_train / dt_def, 1),
         "window_epochs": k_window,
     }))
+
+    if args.skip_analytics:
+        return
 
     # latents for the full training cohort, then on-device gap statistic.
     # dump_keys skips the D2H of unneeded rec_ob; a warm pass excludes the
