@@ -88,6 +88,75 @@ def save_processed(cfg: Config, splits: Dict[str, Dict[str, np.ndarray]]) -> Non
         logger.info("wrote %s (%d encounters)", path, len(data["encounter_id"]))
 
 
+# -------------------------------------------------- p0 cache fingerprint
+# The reference caches p0 intermediates and skips rewriting
+# split_processed/{cohort}.pickle when present (p0_data_process.py:172-185,
+# 200-204) — an existence-only gate that silently serves stale data after
+# an input/config change. Here the skip is tied to a content fingerprint of
+# everything that determines the output (the optk.py gap-CSV pattern):
+# raw input file bytes (or the synthetic generator's parameters) plus the
+# preprocessing config. Sidecar `p0.fp` lives next to the pickles;
+# invalidate-first ordering means a crash mid-write recomputes next run.
+def _p0_fp_path(cfg: Config) -> str:
+    return os.path.join(processed_dir(cfg), "p0.fp")
+
+
+def p0_fingerprint(cfg: Config, source_items) -> str:
+    """Content hash of the p0 inputs. `source_items` is a list of either
+    file paths (raw mode: bytes are hashed) or repr-able values (synthetic
+    mode: generator parameters)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for item in source_items:
+        if isinstance(item, str) and os.path.isfile(item):
+            with open(item, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 22), b""):
+                    h.update(chunk)
+        else:
+            h.update(repr(item).encode())
+    h.update(repr((cfg.seed, cfg.holdout_frac, cfg.norm_method,
+                   cfg.hours_from_admission)).encode())
+    return h.hexdigest()
+
+
+def p0_cache_valid(cfg: Config, fp: str) -> bool:
+    """True iff every cohort pickle exists and the sidecar matches `fp`."""
+    d = processed_dir(cfg)
+    if not all(
+        os.path.exists(os.path.join(d, f"{c}.pickle")) for c in COHORTS
+    ):
+        return False
+    try:
+        with open(_p0_fp_path(cfg)) as f:
+            saved = f.read().strip()
+    except OSError:
+        logger.warning(
+            "existing %s/*.pickle have no p0.fp sidecar — recomputing "
+            "(pass --overwrite true to always recompute)", d,
+        )
+        return False
+    if saved != fp:
+        logger.warning(
+            "existing %s/*.pickle were built from different inputs/config "
+            "— recomputing", d,
+        )
+        return False
+    return True
+
+
+def p0_invalidate(cfg: Config) -> None:
+    try:
+        os.remove(_p0_fp_path(cfg))
+    except OSError:
+        pass
+
+
+def p0_write_fp(cfg: Config, fp: str) -> None:
+    with open(_p0_fp_path(cfg), "w") as f:
+        f.write(fp)
+
+
 def load_processed(cfg: Config) -> Dict[str, Dict[str, np.ndarray]]:
     d = processed_dir(cfg)
     out = {}

@@ -25,7 +25,15 @@ from ..data import generate_data, make_synthetic_cohorts, process_splits
 from ..data.abnormal import extract_abnormal_vitals
 from ..info import COHORTS
 from ..utils import logger, set_seed
-from .common import build_parser, config_from_args, save_processed
+from .common import (
+    build_parser,
+    config_from_args,
+    p0_cache_valid,
+    p0_fingerprint,
+    p0_invalidate,
+    p0_write_fp,
+    save_processed,
+)
 
 
 def main(argv=None):
@@ -55,6 +63,27 @@ def main(argv=None):
             return
     set_seed(cfg.seed)
     rng = np.random.RandomState(cfg.seed)
+
+    # skip-if-cached (reference p0_data_process.py:200-204, but gated on a
+    # content fingerprint of the inputs instead of bare existence): at the
+    # builder's measured scale a p0 re-run is 125 s (100k) / 293 s (1M) of
+    # host work — a matching cache makes it ~instant
+    if args.synthetic:
+        sources = [("synthetic", args.synthetic, args.synthetic_max_obs,
+                    args.synthetic_phenotypes)]
+    elif args.raw_dir:
+        sources = [os.path.join(args.raw_dir, n)
+                   for n in ("encounter.csv", "vitals.pickle", "split_ids.pickle")]
+    else:
+        parser.error("one of --raw_dir or --synthetic is required")
+    fp = p0_fingerprint(cfg, sources)
+    if not cfg.overwrite and p0_cache_valid(cfg, fp):
+        logger.info(
+            "p0: split_processed pickles match the current inputs/config — "
+            "skipping recompute (pass --overwrite true to force)"
+        )
+        return
+    p0_invalidate(cfg)
 
     if args.synthetic:
         splits = make_synthetic_cohorts(
@@ -109,12 +138,10 @@ def main(argv=None):
                 splits[cohort][col] = (
                     enc_idx[col].reindex(ids).fillna(0).to_numpy(np.float32)
                 )
-    else:
-        parser.error("one of --raw_dir or --synthetic is required")
-
     process_splits(splits, holdout_frac=cfg.holdout_frac, rng=rng,
                    norm_method=cfg.norm_method)
     save_processed(cfg, splits)
+    p0_write_fp(cfg, fp)
 
 
 if __name__ == "__main__":

@@ -271,6 +271,23 @@ class Config:
     # matmuls; bf16 measured 2.3ms -> 4.4ms/step at B=256). bfloat16 stays
     # available for memory-constrained or MXU-dominated variants.
     compute_dtype: str = "float32"
+    # One-flag performance preset bundling the measured knob combinations
+    # (PARITY.md frontier tables) so users don't reassemble them by hand:
+    #   ""       — no preset; the individual knobs apply as set.
+    #   "parity" — unroll=1, threefry, matmul "high": the default contract
+    #              surface (fused==stepped bit-identity, sharded-vs-single
+    #              bit-match, machine-checked on-chip torch agreement).
+    #   "tuned"  — unroll=4, prng_impl="rbg", matmul "high": the measured
+    #              fast config that KEEPS on-chip torch parity but gives up
+    #              the bit-identity contracts (unroll shifts gradient
+    #              reduction order ~4e-5 over 5 Adam steps; rbg is only
+    #              reproducible per backend/topology).
+    #   "peak"   — "tuned" plus matmul "default" (plain bf16 matmuls):
+    #              fastest measured; FAILS the vs-torch gate (~3.5e-2 at
+    #              T=354) — benchmarking/exploration only.
+    # The preset STOMPS epoch_scan_unroll / prng_impl / matmul_precision
+    # (a conflicting explicit flag loses; the application is logged).
+    perf_profile: str = ""
 
     # ------------------------------------------------------------------
     @property
@@ -311,11 +328,72 @@ class Config:
         "rng_draw_bits": (32, 16),
         "kmeans_impl": ("device", "sklearn"),
         "dbscan_impl": ("device", "sklearn"),
+        "perf_profile": ("", "parity", "tuned", "peak"),
+    }
+    # the knob bundle each perf_profile pins (see the field's docstring)
+    _PROFILES = {
+        "parity": {
+            "epoch_scan_unroll": 1,
+            "prng_impl": "threefry2x32",
+            "matmul_precision": "high",
+        },
+        "tuned": {
+            "epoch_scan_unroll": 4,
+            "prng_impl": "rbg",
+            "matmul_precision": "high",
+        },
+        "peak": {
+            "epoch_scan_unroll": 4,
+            "prng_impl": "rbg",
+            "matmul_precision": "default",
+        },
+    }
+    # contract trade-off lines printed when a profile is applied
+    _PROFILE_NOTES = {
+        "parity": "all contracts hold (bit-identity, sharded-vs-single, "
+                  "machine-checked on-chip torch agreement)",
+        "tuned": "KEEPS on-chip torch parity; gives up fused==stepped "
+                 "bit-identity (unroll=4 shifts gradient reduction order "
+                 "~4e-5/5 Adam steps) and cross-topology RNG replay (rbg)",
+        "peak": "FAILS the vs-torch parity gate (~3.5e-2 at T=354, plain "
+                "bf16 matmuls) — benchmarking/exploration only",
     }
     _MIN_ONE = ("eval_interval", "epoch_scan_unroll", "batch_size",
                 "num_timestamps", "max_epochs")
 
     def __post_init__(self):
+        if self.perf_profile:
+            knobs = self._PROFILES[self.perf_profile] \
+                if self.perf_profile in self._PROFILES else None
+            if knobs is not None:
+                # warn only for values that are neither the profile's nor
+                # the field default — i.e. something the caller set on
+                # purpose (an untouched default being re-pinned is routine)
+                defaults = {
+                    f.name: f.default for f in dataclasses.fields(self)
+                }
+                stomped = {
+                    k: getattr(self, k) for k, v in knobs.items()
+                    if getattr(self, k) not in (v, defaults[k])
+                }
+                for k, v in knobs.items():
+                    setattr(self, k, v)
+                import logging
+
+                log = logging.getLogger("dicl")
+                log.info(
+                    "perf_profile=%r: %s — %s",
+                    self.perf_profile,
+                    ", ".join(f"{k}={v!r}" for k, v in knobs.items()),
+                    self._PROFILE_NOTES[self.perf_profile],
+                )
+                if stomped:
+                    log.warning(
+                        "perf_profile=%r overrode explicitly-set %s (the "
+                        "profile wins; drop --perf_profile to hand-tune)",
+                        self.perf_profile,
+                        ", ".join(f"{k}={v!r}" for k, v in stomped.items()),
+                    )
         for name, allowed in self._CHOICES.items():
             v = getattr(self, name)
             if v not in allowed:
@@ -340,6 +418,16 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    # fields that determine parameter/data shapes: overriding one while
+    # reloading a run's config makes its checkpoints/dumps incompatible
+    # (the reference's load_config forbids ALL overrides outside a tiny
+    # whitelist, utils.py:44-57 — here any override is allowed, so the
+    # shape-bearing ones at least warn)
+    _SHAPE_BEARING = (
+        "num_timestamps", "num_variables", "ref_points", "lstm_hidden",
+        "head_hidden", "cluster_number", "fake_detection", "aux_tasks",
+    )
 
     # per-process runtime topology: a rank and a coordinator host:port are
     # meaningful only for the launch that set them — reloading them via
@@ -374,6 +462,24 @@ class Config:
         known = {f.name for f in dataclasses.fields(cls)}
         known -= set(cls._RUNTIME_ONLY)  # configs saved before the exclusion
         d = {k: v for k, v in d.items() if k in known}
+        shape_changed = {
+            k: (d[k], v) for k, v in overrides.items()
+            if k in cls._SHAPE_BEARING and k in d and d[k] != v
+        }
+        if shape_changed:
+            import logging
+
+            logging.getLogger("dicl").warning(
+                "Config.load(%s): overriding shape-bearing %s — checkpoints "
+                "and feature dumps written under the stored value will NOT "
+                "load/compare against this run (reference utils.py:44-57 "
+                "forbids such overrides outright)",
+                path,
+                ", ".join(
+                    f"{k}: {old!r} -> {new!r}"
+                    for k, (old, new) in shape_changed.items()
+                ),
+            )
         d.update(overrides)
         # JSON round-trips tuples as lists — coerce back for every
         # tuple-defaulted field, not a hardcoded name list

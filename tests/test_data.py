@@ -408,6 +408,66 @@ def test_config_roundtrip_drops_runtime_topology(tmp_path):
     assert loaded.batch_size == 64
 
 
+def test_config_perf_profiles(tmp_path, caplog, monkeypatch):
+    """`--perf_profile` pins the measured knob bundles (PARITY.md frontier):
+    one flag instead of three hand-assembled ones, with the contract
+    trade-offs logged and explicit conflicting flags warned about."""
+    import logging
+
+    import pytest
+
+    from deep_interpolation_clustering_tpu import Config
+
+    # the package logger doesn't propagate (own stream handler); caplog
+    # captures via the root logger, so re-enable propagation for the test
+    monkeypatch.setattr(logging.getLogger("dicl"), "propagate", True)
+
+    assert Config().perf_profile == ""  # default: no preset, knobs apply
+    c = Config(perf_profile="parity")
+    assert (c.epoch_scan_unroll, c.prng_impl, c.matmul_precision) == (
+        1, "threefry2x32", "high")
+    c = Config(perf_profile="tuned")
+    assert (c.epoch_scan_unroll, c.prng_impl, c.matmul_precision) == (
+        4, "rbg", "high")
+    c = Config(perf_profile="peak")
+    assert (c.epoch_scan_unroll, c.prng_impl, c.matmul_precision) == (
+        4, "rbg", "default")
+    with pytest.raises(ValueError, match="perf_profile"):
+        Config(perf_profile="fastest")
+    # a conflicting explicit knob loses to the profile, with a warning
+    with caplog.at_level(logging.WARNING, logger="dicl"):
+        c = Config(perf_profile="peak", matmul_precision="highest")
+    assert c.matmul_precision == "default"
+    assert any("overrode" in r.message for r in caplog.records)
+    # profile configs survive a save/load round trip unchanged
+    path = Config(perf_profile="tuned").save(str(tmp_path))
+    loaded = Config.load(path)
+    assert loaded.perf_profile == "tuned" and loaded.epoch_scan_unroll == 4
+
+
+def test_config_load_warns_on_shape_bearing_overrides(tmp_path, caplog, monkeypatch):
+    """Reloading a run's config while overriding a checkpoint-shape field
+    warns (the reference's load_config forbids such overrides outright via
+    its changeable whitelist, utils.py:44-57)."""
+    import logging
+
+    from deep_interpolation_clustering_tpu import Config
+
+    monkeypatch.setattr(logging.getLogger("dicl"), "propagate", True)
+
+    path = Config(num_timestamps=354, lstm_hidden=128).save(str(tmp_path))
+    with caplog.at_level(logging.WARNING, logger="dicl"):
+        c = Config.load(path, num_timestamps=48, lstm_hidden=64)
+    assert c.num_timestamps == 48 and c.lstm_hidden == 64  # override wins
+    msgs = [r.message for r in caplog.records]
+    assert any("num_timestamps" in m and "lstm_hidden" in m for m in msgs)
+    # non-shape overrides and unchanged shape values stay silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="dicl"):
+        Config.load(path, batch_size=64, num_timestamps=354)
+    assert not [r for r in caplog.records if "shape-bearing" in r.message]
+
+
 def test_fake_select_packed_matches_xla(rng):
     """The lane-packed short-T kernel (`_select_pallas_packed`) must
     produce the identical mask as the sort oracle for every pack factor,

@@ -81,3 +81,48 @@ def test_p0_raw_ingestion(tmp_path, raw_dir, monkeypatch):
     assert fv_hr.size and (0 <= fv_hr).all() and (fv_hr <= 1).all()
     # aux CSV written
     assert os.path.exists("Data/next_hour_abnormal_norm_val.csv")
+
+
+def test_p0_cache_skip_and_invalidate(tmp_path, raw_dir, monkeypatch):
+    """Second identical p0 run is a fingerprint-gated no-op (reference
+    p0_data_process.py:200-204's skip-if-exists, but content-tied); any
+    input change or --overwrite recomputes; a stale/absent sidecar never
+    silently serves old pickles."""
+    monkeypatch.chdir(tmp_path)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data"])
+    pkl = "Data/model_data/split_processed/training.pickle"
+    fp = "Data/model_data/split_processed/p0.fp"
+    assert os.path.exists(fp)
+    t0 = os.path.getmtime(pkl)
+
+    # 1) identical inputs: skipped (pickle not rewritten)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data"])
+    assert os.path.getmtime(pkl) == t0
+
+    # 2) changed preprocessing config: recomputes
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3"])
+    t1 = os.path.getmtime(pkl)
+    assert t1 > t0
+
+    # 3) changed raw input bytes: recomputes
+    with open(os.path.join(raw_dir, "encounter.csv"), "a") as f:
+        f.write("\n")
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3"])
+    t2 = os.path.getmtime(pkl)
+    assert t2 > t1
+
+    # 4) --overwrite forces recompute even with a matching fingerprint
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3", "--overwrite", "true"])
+    assert os.path.getmtime(pkl) > t2
+
+    # 5) missing sidecar (e.g. crash between pickle write and fp write):
+    # recomputes rather than trusting existence
+    os.remove(fp)
+    t3 = os.path.getmtime(pkl)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3"])
+    assert os.path.getmtime(pkl) > t3
+    assert os.path.exists(fp)
