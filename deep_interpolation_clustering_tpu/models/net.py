@@ -208,13 +208,25 @@ def _forward_impl(
 
     aux: Dict[str, Array] = {}
     b_sz, r, in_dim = interp_data.shape
-    head_list = [("rbf", interp_data.reshape(b_sz * r, in_dim), True, k_rbf)]
+    # train-mode BN row masks for padded-tail batches: each head's moments
+    # must see only the REAL rows (the reference's short-batch BN semantics
+    # — a short batch normalizes over its own rows, pretrain_trainer.py
+    # trains the tail with no drop_last). None when the batch is unpadded.
+    masked = train and sample_mask is not None
+    rbf_mask = jnp.repeat(sample_mask, r) if masked else None
+    row_mask = sample_mask if masked else None
+    fake_mask = None
+    if masked and use_fake:
+        fake_mask = jnp.concatenate([sample_mask, sample_mask])[fake_perm_idx]
+    head_list = [("rbf", interp_data.reshape(b_sz * r, in_dim), True, k_rbf,
+                  rbf_mask)]
     if "predict_future" in params:
-        head_list.append(("predict_future", cat_hidden, False, k_future))
+        head_list.append(("predict_future", cat_hidden, False, k_future,
+                          row_mask))
     if "aux_head" in params:
-        head_list.append(("aux_head", cat_hidden, False, k_aux))
+        head_list.append(("aux_head", cat_hidden, False, k_aux, row_mask))
     if use_fake:
-        head_list.append(("fake_det_head", pos_neg, False, k_fake))
+        head_list.append(("fake_det_head", pos_neg, False, k_fake, fake_mask))
 
     if cfg.fused_heads and len(head_list) > 1:
         # one batched trunk for every head — the post-encode tail is
@@ -223,22 +235,24 @@ def _forward_impl(
             [{
                 "params": params[n] if n != "rbf" else params["rbf"]["compress"],
                 "state": state[n] if n != "rbf" else state["rbf"]["compress"],
-                "x": xh, "relu": relu,
-            } for n, xh, relu, _ in head_list],
+                "x": xh, "relu": relu, "row_mask": mh,
+            } for n, xh, relu, _, mh in head_list],
             cfg.dropout, train, k_rbf,
         )
-        head_out = {n: y for (n, _, _, _), y in zip(head_list, ys)}
-        for (n, _, _, _), st in zip(head_list, new_sts):
+        head_out = {n: y for (n, *_), y in zip(head_list, ys)}
+        for (n, *_), st in zip(head_list, new_sts):
             if n == "rbf":
                 new_state["rbf"] = {"compress": st}
             else:
                 new_state[n] = st
     else:
         head_out = {}
-        for n, xh, relu, kh in head_list:
+        for n, xh, relu, kh, mh in head_list:
             p = params[n] if n != "rbf" else params["rbf"]["compress"]
             s = state[n] if n != "rbf" else state["rbf"]["compress"]
-            y, st = nn.head_apply(p, s, xh, cfg.dropout, train, kh, relu=relu)
+            y, st = nn.head_apply(
+                p, s, xh, cfg.dropout, train, kh, relu=relu, row_mask=mh
+            )
             head_out[n] = y
             if n == "rbf":
                 new_state["rbf"] = {"compress": st}

@@ -45,7 +45,7 @@ def batchnorm_init(dim: int, dtype=jnp.float32) -> Tuple[Dict, Dict]:
 
 
 def batchnorm_apply(
-    p: Dict, state: Dict, x: Array, train: bool
+    p: Dict, state: Dict, x: Array, train: bool, row_mask: Optional[Array] = None
 ) -> Tuple[Array, Dict]:
     """BatchNorm over the leading axes of `(N, dim)` rows.
 
@@ -55,12 +55,25 @@ def batchnorm_apply(
     the means below are global-batch reductions (XLA inserts the
     collectives), reproducing the reference's single-process global-batch
     statistics across a data-parallel mesh.
+
+    `row_mask` ((N,), train only): mask-weighted moments over the real rows
+    of a shape-padded batch — a padded short batch then reproduces the
+    reference's short-batch BN statistics exactly (the padding duplicates
+    real rows, which would otherwise bias the moments toward them). Eval
+    ignores it (running stats involve no batch reduction).
     """
     if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.mean(jnp.square(x - mean), axis=0)  # biased
-        n = x.shape[0]
-        unbiased = var * (n / max(n - 1, 1))
+        if row_mask is None:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.mean(jnp.square(x - mean), axis=0)  # biased
+            n = x.shape[0]
+            unbiased = var * (n / max(n - 1, 1))
+        else:
+            m = row_mask[:, None]
+            n = jnp.sum(row_mask)
+            mean = jnp.sum(x * m, axis=0) / n
+            var = jnp.sum(jnp.square(x - mean) * m, axis=0) / n  # biased
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         new_state = {
             "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
@@ -103,11 +116,13 @@ def head_apply(
     train: bool,
     key: Optional[Array],
     relu: bool = False,
+    row_mask: Optional[Array] = None,
 ) -> Tuple[Array, Dict]:
     """Apply the shared head trunk. `relu=True` inserts the ReLU used by
-    CompressFC (reference rbf.py:116-122); the aux heads have none."""
+    CompressFC (reference rbf.py:116-122); the aux heads have none.
+    `row_mask` weights the train-mode BN moments (padded-tail batches)."""
     h = linear_apply(p["fc1"], x)
-    h, bn_s = batchnorm_apply(p["bn"], state["bn"], h, train)
+    h, bn_s = batchnorm_apply(p["bn"], state["bn"], h, train, row_mask)
     if relu:
         h = jax.nn.relu(h)
     h = dropout(key, h, rate, train)
@@ -168,20 +183,39 @@ def heads_apply_fused(heads, rate: float, train: bool, key: Optional[Array]):
         for i in range(n_heads):
             seg[i, row_off[i]:row_off[i + 1]] = 1.0
         seg = jnp.asarray(seg)
+        # optional per-head row masks (padded-tail batches): fold them into
+        # the segment indicator so each head's moments sum only its REAL
+        # rows, and divide by the masked row count — the same mask-weighted
+        # moments as `batchnorm_apply(row_mask=...)`
+        masks = [h.get("row_mask") for h in heads]
+        if any(m is not None for m in masks):
+            mask_cat = jnp.concatenate([
+                m if m is not None else jnp.ones((rows[i],), hid.dtype)
+                for i, m in enumerate(masks)
+            ])
+            seg = seg * mask_cat[None, :]
+            counts = [
+                jnp.sum(m) if m is not None else float(rows[i])
+                for i, m in enumerate(masks)
+            ]
+        else:
+            counts = [float(r) for r in rows]
         sums = seg @ hid  # (n_heads, HS) row-segment column sums
         mean_blocks = [
-            sums[i, col_off[i]:col_off[i + 1]] / rows[i] for i in range(n_heads)
+            sums[i, col_off[i]:col_off[i + 1]] / counts[i] for i in range(n_heads)
         ]
         mean_vec = jnp.concatenate(mean_blocks)
         sq = seg @ jnp.square(hid - mean_vec)
         var_blocks = [
-            sq[i, col_off[i]:col_off[i + 1]] / rows[i] for i in range(n_heads)
+            sq[i, col_off[i]:col_off[i + 1]] / counts[i] for i in range(n_heads)
         ]
         var_vec = jnp.concatenate(var_blocks)
         new_states = []
         for i, h in enumerate(heads):
-            n = rows[i]
-            unbiased = var_blocks[i] * (n / max(n - 1, 1))
+            n = counts[i]
+            factor = (n / max(n - 1.0, 1.0)) if isinstance(n, float) \
+                else (n / jnp.maximum(n - 1.0, 1.0))
+            unbiased = var_blocks[i] * factor
             st = h["state"]["bn"]
             new_states.append({"bn": {
                 "mean": (1 - BN_MOMENTUM) * st["mean"] + BN_MOMENTUM * mean_blocks[i],

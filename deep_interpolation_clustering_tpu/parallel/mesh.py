@@ -69,11 +69,19 @@ def replicate_tree(mesh: Optional[Mesh], tree):
 
 
 def pad_batch_to(batch: Dict[str, np.ndarray], size: int):
-    """Zero-pad every array's leading axis to `size`; adds `sample_mask`
-    marking real rows so loss/metric reductions ignore the padding.
+    """Pad every array's leading axis to `size` by cyclically REPEATING the
+    real rows; adds `sample_mask` marking real rows so loss/metric
+    reductions (and train-mode BatchNorm moments) ignore the padding.
 
-    Keeps every eval batch the same shape (one XLA compilation) and keeps
-    the batch divisible across the mesh. Returns `(padded_batch, n_real)`.
+    Repeat — not zero — because an all-zero row has an all-zero padding
+    mask, and the interpolation ops' masked `log(0)=-inf` logsumexp then
+    yields NaN values whose zero loss-cotangents still poison gradients
+    (`0 * NaN = NaN`); repeated real rows keep every intermediate finite.
+    (Eval observables are unaffected either way: losses use `where`-masked
+    reductions, dumps are sliced to the real rows.)
+
+    Keeps every batch the same shape (one XLA compilation) and keeps the
+    batch divisible across the mesh. Returns `(padded_batch, n_real)`.
     """
     n = None
     for v in batch.values():
@@ -81,11 +89,11 @@ def pad_batch_to(batch: Dict[str, np.ndarray], size: int):
             n = v.shape[0]
             break
     assert n is not None and n <= size
+    wrap = np.arange(size) % n
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.shape[0] == n:
-            pad = [(0, size - n)] + [(0, 0)] * (v.ndim - 1)
-            out[k] = np.pad(v, pad)
+            out[k] = v[wrap]
         else:
             out[k] = v
     mask = np.zeros((size,), np.float32)

@@ -211,6 +211,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     denoise: bool,
     gather: bool = False,
+    masked: bool = False,
 ):
     """Returns a jitted train step with donated carries.
 
@@ -218,11 +219,30 @@ def make_train_step(
     streamed from host. `gather=True`: `(params, state, opt_state, data,
     idx, key)` with the cohort resident on device and the batch gathered
     by index inside the step.
+
+    `masked=True` (gather only): the step additionally takes a
+    `(B,) sample_mask` after `idx` — the padded-tail train step. The tail
+    indices are padded to the full batch shape by REPEATING real rows
+    (finite values everywhere, so no NaN leaks into gradients through the
+    masked-out logsumexp paths), and the mask excludes the padding from
+    every loss reduction AND from the BatchNorm batch moments — exactly
+    the reference's short-batch semantics (it trains the tail with no
+    drop_last, pretrain_trainer.py:127-130), but shape-stable and
+    mesh-divisible so sharded runs train every encounter too.
     """
     update = _make_update(cfg, optimizer, denoise)
 
     if not gather:
         return jax.jit(update, donate_argnums=(0, 1, 2))
+
+    if masked:
+        def train_step_masked(params, state, opt_state, data, idx, sample_mask,
+                              key):
+            batch = gather_batch(data, idx)
+            batch["sample_mask"] = sample_mask
+            return update(params, state, opt_state, batch, key)
+
+        return jax.jit(train_step_masked, donate_argnums=(0, 1, 2))
 
     def train_step_gather(params, state, opt_state, data, idx, key):
         return update(params, state, opt_state, gather_batch(data, idx), key)

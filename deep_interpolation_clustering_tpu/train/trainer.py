@@ -104,12 +104,14 @@ class Trainer:
         )
 
     # ------------------------------------------------------------- steps
-    def _train_step(self, denoise: bool):
-        if denoise not in self._train_steps:
-            self._train_steps[denoise] = make_train_step(
-                self.cfg, self.optimizer, denoise, gather=self.cfg.device_data
+    def _train_step(self, denoise: bool, masked: bool = False):
+        k = (denoise, masked)
+        if k not in self._train_steps:
+            self._train_steps[k] = make_train_step(
+                self.cfg, self.optimizer, denoise,
+                gather=self.cfg.device_data, masked=masked,
             )
-        return self._train_steps[denoise]
+        return self._train_steps[k]
 
     def _eval_step(self, denoise: bool, dump_keys=None):
         k = (denoise, dump_keys)
@@ -204,9 +206,7 @@ class Trainer:
                 )
                 defer = cfg.eval_interval > 1 and self._can_fuse(train_ds)
                 if defer:
-                    n_batches = train_ds.num_batches(
-                        cfg.batch_size, drop_last=self.n_shards > 1
-                    )
+                    n_batches = train_ds.num_batches(cfg.batch_size)
                     handles = self._dispatch_fused_epoch(
                         train_ds, cfg.denoise, self._epoch_key(self.epoch),
                         np.random.RandomState(cfg.seed + self.epoch),
@@ -245,7 +245,7 @@ class Trainer:
         cfg = self.cfg
         epoch_key = self._epoch_key(self.epoch)
         shuffle_rng = np.random.RandomState(cfg.seed + self.epoch)
-        n_batches = ds.num_batches(cfg.batch_size, drop_last=self.n_shards > 1)
+        n_batches = ds.num_batches(cfg.batch_size)
 
         if self._can_fuse(ds):
             return self._train_one_epoch_fused(
@@ -259,42 +259,43 @@ class Trainer:
         # them eagerly would force a host sync every step and serialize the
         # H2D batch transfer with the compute (the torch reference has the
         # same pipeline hazard via its .item() calls, :223).
+        # The ragged tail batch trains on EVERY mesh size via a masked step
+        # (_tail_train_step): padded to the full batch shape (repeated real
+        # rows), sample-masked out of losses and BN moments — the
+        # reference's short-batch semantics (no drop_last anywhere,
+        # pretrain_trainer.py:127-130), mesh-divisible.
         pending: list = []
-        if self.n_shards > 1 and len(ds) < cfg.batch_size:
-            # drop-last under a mesh would yield ZERO batches: the epoch
-            # would silently train nothing forever (the reference, with no
-            # drop_last, still trains the short batch) — fail loudly
-            raise ValueError(
-                f"cohort '{ds.cohort}' has {len(ds)} encounters, fewer than "
-                f"batch_size={cfg.batch_size}: with {self.n_shards} shards "
-                "every batch is dropped. Lower batch_size (it must divide "
-                "across shards) or train single-device."
-            )
         if cfg.device_data:
             data = self._cohort_device_data(ds)
             n = len(ds)
             order = np.arange(n)
             shuffle_rng.shuffle(order)
-            stop = (n // cfg.batch_size) * cfg.batch_size \
-                if self.n_shards > 1 else n
             batches = [
                 order[s : s + cfg.batch_size].astype(np.int32)
-                for s in range(0, stop, cfg.batch_size)
+                for s in range(0, n, cfg.batch_size)
             ]
         else:
             batches = ds.iter_batches(
-                cfg.batch_size, shuffle=True, rng=shuffle_rng,
-                drop_last=self.n_shards > 1,
+                cfg.batch_size, shuffle=True, rng=shuffle_rng
             )
         for i, batch in enumerate(batches, start=1):
             key = jax.random.fold_in(epoch_key, i)
             if cfg.device_data:
-                self.params, self.state, self.opt_state, losses = step_fn(
-                    self.params, self.state, self.opt_state, data,
-                    self._put_idx(batch), key,
-                )
+                if len(batch) < cfg.batch_size:
+                    losses = self._tail_train_step(denoise, data, batch, key)
+                else:
+                    self.params, self.state, self.opt_state, losses = step_fn(
+                        self.params, self.state, self.opt_state, data,
+                        self._put_idx(batch), key,
+                    )
             else:
                 batch.pop("index", None)
+                n_real = next(
+                    v.shape[0] for v in batch.values()
+                    if isinstance(v, np.ndarray)
+                )
+                if n_real < cfg.batch_size:
+                    batch, _ = pad_batch_to(batch, cfg.batch_size)
                 batch = shard_batch(self.mesh, batch)
                 self.params, self.state, self.opt_state, losses = step_fn(
                     self.params, self.state, self.opt_state, batch, key
@@ -315,6 +316,27 @@ class Trainer:
         out = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
         self.summary.add_summary(self.epoch, scope="train", **out)
         return out
+
+    def _tail_train_step(self, denoise: bool, data: Dict, tail_idx, key):
+        """Train the ragged tail as one masked full-shape step: indices
+        padded by cyclically repeating the real rows (finite values — zero
+        rows would push NaN through the masked logsumexp gradients), the
+        sample mask excluding the padding from every loss reduction and
+        from the BatchNorm batch moments. Works on every mesh size — the
+        batch stays shape-stable and divisible — so sharded epochs train
+        every encounter like the reference (no drop_last,
+        pretrain_trainer.py:127-130). Returns the device losses handle."""
+        cfg = self.cfg
+        b = cfg.batch_size
+        idx_pad = np.resize(np.asarray(tail_idx, np.int32), b)
+        mask = np.zeros((b,), np.float32)
+        mask[: len(tail_idx)] = 1.0
+        step_fn = self._train_step(denoise, masked=True)
+        self.params, self.state, self.opt_state, losses = step_fn(
+            self.params, self.state, self.opt_state, data,
+            self._put_idx(idx_pad), self._put_idx(mask), key,
+        )
+        return losses
 
     def _train_one_epoch_fused(
         self, ds: ArrayDataset, denoise: bool, epoch_key, shuffle_rng, n_batches
@@ -350,13 +372,9 @@ class Trainer:
 
         tail = order[n_full * b :].astype(np.int32)
         tail_losses = None
-        if len(tail) and self.n_shards == 1:
-            step_fn = self._train_step(denoise)
+        if len(tail):
             key = jax.random.fold_in(epoch_key, n_full + 1)
-            self.params, self.state, self.opt_state, tail_losses = step_fn(
-                self.params, self.state, self.opt_state, data,
-                self._put_idx(tail), key,
-            )
+            tail_losses = self._tail_train_step(denoise, data, tail, key)
         return losses, tail_losses
 
     def _finalize_fused_epoch(

@@ -168,13 +168,14 @@ def test_data_parallel_all_devices(tmp_path, cohorts):
     assert tr0.n_shards == 1
 
 
-def test_mesh_cohort_smaller_than_batch_raises(tmp_path, cohorts):
-    """Under a mesh, a cohort smaller than batch_size would silently train
-    zero batches per epoch (drop-last) — must fail loudly instead."""
+def test_mesh_cohort_smaller_than_batch_trains(tmp_path, cohorts):
+    """Under a mesh, a cohort smaller than batch_size trains as ONE padded
+    masked batch (r4 — earlier rounds dropped sub-batch cohorts on meshes
+    and raised; the reference, with no drop_last, trains the short batch)."""
     cfg = tiny_cfg(batch_size=512, data_parallel=-1)
     tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
-    with pytest.raises(ValueError, match="fewer than"):
-        tr.train_one_epoch(tr.datasets["training"], denoise=False)
+    m = tr.train_one_epoch(tr.datasets["training"], denoise=False)
+    assert np.isfinite(m["loss"])
 
 
 @pytest.mark.slow
@@ -287,6 +288,116 @@ def test_sharded_trainer_matches_single_device(tmp_path):
     h1 = np.concatenate(d1["hidden"])
     h8 = np.concatenate(d8["hidden"])
     assert np.abs(h1 - h8).max() < 1e-4
+
+
+def test_masked_tail_step_matches_true_short_batch(tmp_path, cohorts):
+    """The padded+masked tail step must reproduce the TRUE short-batch step
+    (what the reference and earlier single-device rounds ran): mask-weighted
+    BN moments == short-batch BN moments, masked losses == short-batch
+    losses, zero gradient leakage from the padding rows. RNG-shape-dependent
+    branches (dropout/augment/fake draws differ between (B,) and (n_tail,)
+    shapes) are disabled — they carry no parity contract."""
+    import jax.numpy as jnp
+
+    from deep_interpolation_clustering_tpu.train.optim import make_optimizer
+    from deep_interpolation_clustering_tpu.train.steps import make_train_step
+    from deep_interpolation_clustering_tpu.models import init_net
+
+    cfg = tiny_cfg(
+        batch_size=16, dropout=0.0, aug_input=False, fake_detection=False,
+        loss="ae_mse_sup",
+    )
+    ds = make_datasets(cfg, cohorts)["training"]
+    data = {k: jnp.asarray(v) for k, v in ds.arrays().items()}
+    key = jax.random.key(0)
+    params, state = init_net(jax.random.key(1), cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+
+    def fresh():
+        # the steps donate their carries; give each call its own buffers
+        return jax.tree_util.tree_map(
+            jnp.copy, (params, state, opt_state)
+        )
+
+    tail = np.arange(5, dtype=np.int32)  # a 5-row tail of a 16-batch epoch
+    short = make_train_step(cfg, opt, denoise=False, gather=True)
+    p0, s0, o0 = fresh()
+    p_s, st_s, _, l_s = short(p0, s0, o0, data, jnp.asarray(tail), key)
+
+    masked = make_train_step(cfg, opt, denoise=False, gather=True, masked=True)
+    idx_pad = np.resize(tail, cfg.batch_size)
+    mask = np.zeros((cfg.batch_size,), np.float32)
+    mask[: len(tail)] = 1.0
+    p0, s0, o0 = fresh()
+    p_m, st_m, _, l_m = masked(p0, s0, o0, data,
+                               jnp.asarray(idx_pad), jnp.asarray(mask), key)
+
+    for k in l_s:
+        np.testing.assert_allclose(
+            float(l_s[k]), float(l_m[k]), rtol=1e-6, err_msg=f"loss {k}")
+    # params: gradient sums reduce over B padded rows (zero cotangents) vs
+    # n_tail rows — f32 reduction-order drift that Adam's eps denominator
+    # amplifies on near-zero gradients (measured max 1.4e-5 on 0.03% of
+    # elements; same mechanism and band as sharded-vs-single above)
+    n_viol = n_tot = 0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(p_s)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(p_m)),
+    ):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() < 1e-4, f"param drift at {path}: {diff.max():.2e}"
+        n_viol += int((diff > 1e-5).sum())
+        n_tot += diff.size
+    assert n_viol <= max(1, n_tot // 1000), f"{n_viol}/{n_tot} beyond 1e-5"
+    # BN running stats (the batch-coupled state) match the short batch's
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(st_s)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(st_m)),
+    ):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-7, err_msg=f"state {path}")
+
+
+@pytest.mark.slow
+def test_sharded_ragged_tail_matches_single_device(tmp_path):
+    """An 8-shard epoch over a NON-divisible cohort must (a) train every
+    encounter — the tail runs as a padded masked step on the mesh, where
+    earlier rounds silently dropped it — and (b) match the single-device
+    run at the established sharded-vs-single band over two epochs."""
+    raw = make_synthetic_cohorts(
+        n_total=150, max_obs=24, seed=12, split=(0.8, 0.1, 0.1)
+    )
+    cohorts = process_splits(raw, rng=np.random.RandomState(0))
+    cfg = tiny_cfg(max_epochs=2, batch_size=16)
+    ds1 = make_datasets(cfg, cohorts)
+    ds8 = make_datasets(cfg, cohorts)
+    n_train = len(ds1["training"])
+    assert n_train % cfg.batch_size != 0  # the point of the test
+
+    tr1 = Trainer(cfg, ds1, str(tmp_path / "one"), mesh=make_mesh(1), use_tensorboard=False)
+    tr8 = Trainer(cfg, ds8, str(tmp_path / "eight"), mesh=make_mesh(8), use_tensorboard=False)
+
+    for _ in range(2):
+        m1 = tr1.train_one_epoch(ds1["training"], denoise=False)
+        m8 = tr8.train_one_epoch(ds8["training"], denoise=False)
+        assert abs(m1["loss"] - m8["loss"]) < 1e-5
+        tr1.epoch += 1
+        tr8.epoch += 1
+
+    p1 = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(tr1.params)))
+    p8 = jax.tree_util.tree_leaves_with_path(jax.device_get(tr8.params))
+    n_viol = n_tot = 0
+    for path, leaf in p8:
+        diff = np.abs(np.asarray(leaf) - np.asarray(p1[path]))
+        assert diff.max() < 5e-3, f"param drift at {path}: {diff.max():.2e}"
+        n_viol += int((diff > 1e-4).sum())
+        n_tot += diff.size
+    # 0.3%-of-elements bound: the divisible-cohort test above measured
+    # ~0.1%; the masked tail adds one more reduction-order-shifted step per
+    # epoch for Adam's eps to amplify (measured 0.14% here)
+    assert n_viol <= max(1, 3 * n_tot // 1000), \
+        f"{n_viol}/{n_tot} params beyond 1e-4"
 
 
 def test_lr_schedules():
