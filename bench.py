@@ -277,19 +277,27 @@ def bench_onchip_parity() -> dict:
     + torch eval outputs at the production shape B=32/C=6/T=354/R=6
     (benchmarks/make_parity_fixture.py). Two numbers, both at the production
     matmul_precision="high" default, forward jitted (the real execution
-    path; "high" measured parity-identical to "highest" — 5.698e-4 vs
-    5.703e-4 — because the residue is the VPU's, not matmul rounding):
+    path):
 
       * vs_torch — max |diff| of latent+reconstruction against the torch
-        reference. Measured on the v5e: 5.70e-4 on the latent (the
-        reconstruction holds 7e-6). Gate: 1e-3.
+        reference. Measured on the v5e: 1.066e-4 on the latent (the
+        reconstruction holds ~1e-5). Gate: 2.5e-4.
       * vs_host_cpu — max |diff| of the SAME jitted forward on the real
-        chip vs the in-process CPU backend. Measured 5.69e-4 — i.e. the
-        divergence is the CHIP's (VPU transcendentals + 354-term SCI
-        softmax accumulation feeding the recurrence), not the rebuild's:
-        jitted host-CPU agrees with torch to 2.6e-6 even at T=354, well
-        inside the 1e-5 contract (suite-checked at T=30,
-        tests/test_torch_parity.py). Gate: 1e-3.
+        chip vs the in-process CPU backend. Measured 1.067e-4 — i.e. the
+        divergence is the CHIP's, not the rebuild's: jitted host-CPU
+        agrees with torch to 2.6e-6 even at T=354, well inside the 1e-5
+        contract (suite-checked at T=30, tests/test_torch_parity.py).
+        Gate: 2.5e-4.
+
+    The residue is decomposed per stage in benchmarks/parity_ledger.py
+    (r4): the chip's log/log1p is ~300 ulp off, which through the SCI
+    softplus kernel and kappa=10 transient logits injected the old 5.7e-4;
+    ops/numerics.py Newton-refines those logs (raw SCI injects 1.52e-3
+    isolated, refined 1.1e-4). What remains at "high" splits between
+    bf16_3x LSTM matmul rounding (latent reads 5.1e-5 under "highest")
+    and the chip exp's ~10-ulp relative error on the CCI intensity values
+    — both at the respective unit's accuracy floor. The 2.5e-4 gate sits
+    ~2.3x above the 1.07e-4 measured floor to absorb compiler drift.
     """
     import os
 
@@ -418,7 +426,8 @@ def main():
         vs = None
     try:
         parity = bench_onchip_parity()
-        parity_ok = parity["vs_torch"] <= 1e-3 and parity["vs_host_cpu"] <= 1e-3
+        # 2.5e-4 = ~2.3x the 1.07e-4 measured floor (parity_ledger.py r4)
+        parity_ok = parity["vs_torch"] <= 2.5e-4 and parity["vs_host_cpu"] <= 2.5e-4
         if not parity_ok:
             print(f"ON-CHIP PARITY REGRESSION: {parity}", file=sys.stderr)
     except Exception as e:
@@ -444,9 +453,9 @@ def main():
         "tuned_roofline": _roofline(tuned_cost),
         "peak_roofline": _roofline(peak_cost),
         "dec_roofline": _roofline(dec_cost),
-        # vs_torch: on-chip f32 envelope at T=354 (gate 1e-3; the 1e-5
+        # vs_torch: on-chip f32 envelope at T=354 (gate 2.5e-4; the 1e-5
         # contract holds on host CPU even at T=354). vs_host_cpu: what the
-        # chip itself changes vs the same jitted code on host (gate 1e-3).
+        # chip itself changes vs the same jitted code on host (gate 2.5e-4).
         "onchip_parity_max_abs": parity,
         "onchip_parity_ok": parity_ok,
     }

@@ -24,6 +24,8 @@ from typing import NamedTuple, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from .numerics import logsumexp_refined, softplus_refined
+
 Array = jax.Array
 
 # kappa: sharpening factor of the transient (high-pass) channel
@@ -94,19 +96,24 @@ def sci_forward(
     # (B, C, T, R) squared time distances
     diff = t_obs[..., None] - ref_t
     norm = diff * diff
-    alpha = jnp.log1p(jnp.exp(kernel))  # softplus positivity (:51)
+    # softplus positivity (:51). Newton-refined log: the chip's raw log1p is
+    # ~300 ulp off and alpha multiplies norm (<= hours^2) and kappa=10, so
+    # those ulps fan out to ~1.5e-2 on the transient logits — the dominant
+    # on-chip parity residue (benchmarks/parity_ledger.py, r4)
+    alpha = softplus_refined(kernel)
 
     log_mask = jnp.log(mask)  # 0 -> -inf, exactly as the reference (:59)
     logits = -alpha[None, :, None, None] * norm + log_mask[..., None]
 
     # intensity channel: log-density of observations around each ref point
-    w = jax.nn.logsumexp(logits, axis=2)  # (B, C, R)
+    # (refined final log — same chip-log accuracy story as alpha)
+    w = logsumexp_refined(logits, axis=2)  # (B, C, R)
     # smooth (low-pass) channel: softmax_T-weighted observation mean
     y = jnp.sum(jnp.exp(logits - w[:, :, None, :]) * x_t[..., None], axis=2)
 
     # transient (high-pass) channel: kappa-sharpened kernel
     logits_t = TRANSIENT_KAPPA * (-alpha[None, :, None, None] * norm) + log_mask[..., None]
-    w_t = jax.nn.logsumexp(logits_t, axis=2)
+    w_t = logsumexp_refined(logits_t, axis=2)
     y_trans = jnp.sum(jnp.exp(logits_t - w_t[:, :, None, :]) * x_t[..., None], axis=2)
 
     rep = jnp.concatenate([y, w, y_trans], axis=1)  # (B, 3C, R)
@@ -128,7 +135,7 @@ def cci_forward(kernel: Array, rep: Array) -> Array:
 
     intensity = jnp.exp(w)
     # softmax of intensity across the channel axis (:108-110)
-    den = jax.nn.logsumexp(w, axis=2, keepdims=True)
+    den = logsumexp_refined(w, axis=2, keepdims=True)
     w_sm = jnp.exp(w - den)
 
     mean = jnp.mean(y, axis=1, keepdims=True)  # per-channel time mean (:111-112)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .interpolation import reference_times, to_planes
+from .numerics import softplus_refined
 from . import nn
 
 Array = jax.Array
@@ -133,7 +134,9 @@ def rbf_push(
 
     # |t_obs - ref_t| — the reference computes (d^2)^0.5 (rbf.py:76)
     distances = jnp.abs(t_obs[..., None] - ref_t)  # (B, C, T, R)
-    beta = jnp.log1p(jnp.exp(kernel))  # softplus positivity (:78)
+    # softplus positivity (:78), Newton-refined log (the chip's raw log1p is
+    # ~300 ulp off — ops/numerics.py; beta multiplies squared distances)
+    beta = softplus_refined(kernel)
 
     phi = basis_func_dict()[basis](beta[None, :, None, None], distances)
     phi = phi * m[..., None]  # mask out padded observations (:96)
