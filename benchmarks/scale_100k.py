@@ -93,7 +93,7 @@ def main():
     # does between eval boundaries). The per-epoch timing above pays one
     # tunnel device_get round trip per epoch; this pays 1/k of it.
     ds_train = datasets["training"]
-    nb = ds_train.num_batches(cfg.batch_size, drop_last=tr.n_shards > 1)
+    nb = ds_train.num_batches(cfg.batch_size)
     t0 = time.time()
     k_window = 4
     pend = []

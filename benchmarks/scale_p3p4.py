@@ -1,0 +1,147 @@
+"""p3 (DEC) + p4 (final labeling) at the 100k-encounter production scale.
+
+Closes the scaled-measurement gap: scale_100k.py covers p0/p1 epochs, latent
+extraction and the gap statistic; this script measures the remaining
+pipeline stages at 100k/T=354 on the real chip —
+
+  * p3 phase 1: k-means center init over the 100k training latents
+    (latent extract + on-device k-means, n_init as configured);
+  * p3 phase 2: DEC joint epochs (KL + pretrain losses) INCLUDING the
+    per-epoch validation delta eval, run to delta-stopping or --max_epochs;
+  * p4: final labels for all three cohorts (k-means fit at 100k, SBP
+    alignment, per-cohort predict + dump writes).
+
+A short p1 warmstart (one epoch) provides the pretrain checkpoint the DEC
+init restores, exactly like the production p1->p3 handoff
+(reference clustering_trainer.py:431-447).
+
+Prints one JSON line per stage. Usage:
+  python benchmarks/scale_p3p4.py [--n 100000] [--max_obs 354]
+      [--batch_size 256] [--max_epochs 6] [--kmeans_n_init 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.cluster import FinalLabeler
+from deep_interpolation_clustering_tpu.data import (
+    ArrayDataset,
+    make_synthetic_cohorts,
+    process_splits,
+)
+from deep_interpolation_clustering_tpu.train import ClusterTrainer, Trainer
+from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--max_obs", type=int, default=354)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--max_epochs", type=int, default=6)
+    ap.add_argument("--kmeans_n_init", type=int, default=20)
+    ap.add_argument("--cluster_number", type=int, default=4)
+    ap.add_argument("--root", default="/tmp/scale_p3p4")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    cohorts = process_splits(
+        make_synthetic_cohorts(n_total=args.n, max_obs=args.max_obs),
+        rng=np.random.RandomState(0),
+    )
+    print(json.dumps({"metric": "p0_seconds", "value": round(time.time() - t0, 1),
+                      "n": args.n, "t": args.max_obs}))
+
+    base = dict(
+        batch_size=args.batch_size, num_timestamps=args.max_obs,
+        log_train_freq=100_000, log_valid_freq=100_000, early_stopping=10_000,
+        kmeans_n_init=args.kmeans_n_init, cluster_number=args.cluster_number,
+        num_clusters=args.cluster_number,
+    )
+
+    # ---- p1 warmstart: one epoch + a checkpoint for the DEC init to load
+    p1_path = os.path.join(args.root, "Pretrain")
+    cfg1 = Config(max_epochs=2, **base)
+    ds1 = {c: ArrayDataset(cfg1, d, c) for c, d in cohorts.items()}
+    t0 = time.time()
+    tr1 = Trainer(cfg1, ds1, p1_path, use_tensorboard=False)
+    tr1.train_one_epoch(ds1["training"], denoise=False)
+    ckpt.save_checkpoint(
+        os.path.join(tr1.weight_paths[cfg1.restore_metric], ckpt.CKPT_NAME),
+        1, tr1.params, tr1.state, tr1.opt_state, extra={"metric": "warmstart"},
+    )
+    tr1.close()
+    print(json.dumps({"metric": "p1_warmstart_seconds",
+                      "value": round(time.time() - t0, 1)}))
+
+    # ---- p3: DEC
+    p3_path = os.path.join(args.root, "Clustering")
+    cfg3 = Config(
+        max_epochs=args.max_epochs, loss="ae_mse_sup_fake_detect_kl", **base
+    )
+    ds3 = {c: ArrayDataset(cfg3, d, c) for c, d in cohorts.items()}
+    tr3 = ClusterTrainer(cfg3, ds3, p3_path, pretrain_exp_path=p1_path,
+                         use_tensorboard=False)
+
+    t0 = time.time()
+    valid_prev = tr3.init_centers()  # latent extract @100k + kmeans fit
+    print(json.dumps({"metric": "p3_center_init_seconds",
+                      "value": round(time.time() - t0, 1),
+                      "kmeans_n_init": args.kmeans_n_init}))
+
+    # warm the train-epoch + delta-eval programs, then time DEC epochs
+    deltas, epoch_s, eval_s = [], [], []
+    for e in range(args.max_epochs):
+        t0 = time.time()
+        tr3.train_one_epoch(ds3["training"], denoise=False)
+        t1 = time.time()
+        delta, valid_pred, _ = tr3.generate_pred_cluster(
+            "valid", ds3["validation"], valid_prev
+        )
+        t2 = time.time()
+        valid_prev = valid_pred
+        deltas.append(round(delta, 5))
+        if e > 0:  # first iteration pays the compiles
+            epoch_s.append(t1 - t0)
+            eval_s.append(t2 - t1)
+        tr3.epoch += 1
+        if cfg3.stopping_delta is not None and delta < cfg3.stopping_delta:
+            break
+    print(json.dumps({
+        "metric": "p3_dec_epoch_seconds",
+        "value": round(float(np.median(epoch_s)), 2) if epoch_s else None,
+        "delta_eval_seconds": round(float(np.median(eval_s)), 2) if eval_s else None,
+        "epochs_run": len(deltas), "delta_trajectory": deltas,
+        "stopping_delta": cfg3.stopping_delta,
+    }))
+
+    # feature dumps for p4 (the p3 CLI writes these via eval(generate_feat))
+    t0 = time.time()
+    for m in ("delta",):
+        for cohort in ("training", "validation", "testing"):
+            tr3.eval(cohort, generate_feat=True, metric=m)
+    print(json.dumps({"metric": "p3_feature_dump_seconds",
+                      "value": round(time.time() - t0, 1)}))
+    tr3.close()
+
+    # ---- p4: final labels (kmeans fit @100k + SBP align + 3 dumps)
+    t0 = time.time()
+    labeler = FinalLabeler(cfg3, p3_path)
+    results = labeler.pred(metrics=["delta"], seed=cfg3.seed)
+    sizes = {c: int(len(v)) for c, v in results["delta"].items()}
+    print(json.dumps({"metric": "p4_label_seconds",
+                      "value": round(time.time() - t0, 1), "cohorts": sizes}))
+
+
+if __name__ == "__main__":
+    main()

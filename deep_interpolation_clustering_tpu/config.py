@@ -212,6 +212,17 @@ class Config:
     # host->device transfer per batch); the 100k-encounter cohort is ~3.4 GB
     # at T=354 — far under a v5e chip's HBM
     device_data: bool = True
+    # on a data mesh, row-shard the device-resident cohort planes across
+    # the devices (P("data") block layout, parallel/cohort.py) instead of
+    # replicating them: per-device HBM = cohort/D, so e.g. the 1M-encounter
+    # T=354 cohort (~5.5 GB) costs ~0.7 GB per chip on a v5e-8 where
+    # replication would eat a third of every chip's HBM. Storage is
+    # permuted into each epoch's shuffle order by one all_to_all
+    # ("epoch relayout"), so batches, RNG and numerics are identical to the
+    # replicated path; steps slice blocks with zero per-step collectives.
+    # Ignored off-mesh or when device_data=False. False reverts to
+    # replicated HBM cohorts.
+    shard_cohort: bool = True
     # fuse the whole epoch into one compiled lax.scan over batch indices
     # (one dispatch per epoch; per-batch losses still recorded, but live
     # per-batch console logs are emitted after the epoch). Requires
@@ -227,17 +238,17 @@ class Config:
     # bit-identity contract path; n_batches % unroll != 0 still works.
     epoch_scan_unroll: int = 1
     # XLA matmul precision. Measured on the v5e at the production shape
-    # (B=256/T=354, bench.py onchip_parity + step timing, r3):
-    #   "high"    (bf16_3x) — vs-torch 5.698e-4, 700 us/step  <- default
-    #   "highest" (f32)     — vs-torch 5.703e-4, 884 us/step
+    # (B=256/T=354, bench.py onchip_parity + step timing; parity figures
+    # post-r4 Newton-refined logs, PARITY.md r4 ledger):
+    #   "high"    (bf16_3x) — vs-torch 1.066e-4, 700 us/step  <- default
+    #   "highest" (f32)     — vs-torch 5.1e-5,   884 us/step
     #   "default" (bf16)    — vs-torch 3.5e-2,   545 us/step
-    # "high" and "highest" are parity-indistinguishable because the on-chip
-    # residue is the VPU's (transcendentals + 354-term SCI softmax
-    # accumulation; host-CPU holds 2.6e-6 vs torch), NOT matmul rounding —
-    # so "high" is strictly better: same machine-checked parity, ~26%
-    # faster. The CPU parity suite is unaffected (CPU ignores this knob,
-    # always f32). Set "default" for peak throughput when parity doesn't
-    # matter; "highest" only to rule matmul rounding out of a discrepancy.
+    # The ~1e-4 "high" envelope splits between bf16_3x rounding inside the
+    # biLSTM recurrence and chip-exp ulps on the CCI intensities; "highest"
+    # removes the matmul term at ~26% step cost. Both pass the bench's
+    # 2.5e-4 on-chip gate; the CPU parity suite is unaffected (CPU ignores
+    # this knob, always f32). Set "default" for peak throughput when parity
+    # doesn't matter.
     matmul_precision: str = "high"
     # PRNG implementation for the trainer's root key (every draw in a run
     # — augmentation noise, fake-select bits, dropout, param init —

@@ -1,5 +1,6 @@
 from . import multihost
 from .multihost import device_fetch, is_main_process
+from .cohort import ShardedCohort
 from .mesh import (
     DATA_AXIS,
     make_mesh,
@@ -18,6 +19,7 @@ __all__ = [
     "shard_batch",
     "replicate_tree",
     "pad_batch_to",
+    "ShardedCohort",
     "multihost",
     "device_fetch",
     "is_main_process",

@@ -163,6 +163,18 @@ def gather_batch(data: Dict[str, Array], idx: Array) -> Dict[str, Array]:
     return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
 
+def slice_block(data3: Dict[str, Array], k) -> Dict[str, Array]:
+    """Batch k of a block-layout cohort (`parallel/cohort.ShardedCohort`):
+    one `dynamic_index` on the UNSHARDED block axis per plane — shard-local,
+    zero collectives (each device slices its own `(nb, B/D, ...)` block).
+    The storage is pre-permuted into epoch order, so block k IS the batch
+    the replicated path's `gather_batch` would assemble."""
+    return {
+        name: jax.lax.dynamic_index_in_dim(v, k, 0, keepdims=False)
+        for name, v in data3.items()
+    }
+
+
 def _compute_cast(cfg: Config, params, batch):
     """Opt-in mixed precision: float params/batch enter the forward in
     `cfg.compute_dtype` (e.g. bfloat16 for MXU throughput); the cast is
@@ -250,6 +262,32 @@ def make_train_step(
     return jax.jit(train_step_gather, donate_argnums=(0, 1, 2))
 
 
+def make_train_step_blocks(
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    denoise: bool,
+    masked: bool = False,
+):
+    """Block-layout mirror of `make_train_step(gather=True)`: the batch is
+    `slice_block(data3, k)` instead of a gather by index. `masked=True` adds
+    a `(B,) sample_mask` after `k` — the padded-tail step (same contract as
+    the gather variant's, steps above)."""
+    update = _make_update(cfg, optimizer, denoise)
+
+    if masked:
+        def step_masked(params, state, opt_state, data3, k, sample_mask, key):
+            batch = slice_block(data3, k)
+            batch["sample_mask"] = sample_mask
+            return update(params, state, opt_state, batch, key)
+
+        return jax.jit(step_masked, donate_argnums=(0, 1, 2))
+
+    def step(params, state, opt_state, data3, k, key):
+        return update(params, state, opt_state, slice_block(data3, k), key)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
 def batch_keys(epoch_key: Array, n: int, start: int = 1) -> Array:
     """The per-batch keys `fold_in(epoch_key, i)` for i = start..start+n-1 —
     identical to the unfused loop's sequence, so fused and step-at-a-time
@@ -287,6 +325,36 @@ def make_train_epoch(
 
         (params, state, opt_state), losses = jax.lax.scan(
             body, (params, state, opt_state), (idx_mat, keys),
+            unroll=cfg.epoch_scan_unroll,
+        )
+        return params, state, opt_state, losses
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+
+
+def make_train_epoch_blocks(
+    cfg: Config, optimizer: optax.GradientTransformation, denoise: bool
+):
+    """Block-layout mirror of `make_train_epoch`: scans block numbers `ks`
+    (the full batches, in storage == epoch order) instead of an index
+    matrix. Batch-RNG keys are the same `fold_in(epoch_key, i)` sequence,
+    so a block epoch is numerically identical to the replicated fused epoch
+    over the same shuffle."""
+    update = _make_update(cfg, optimizer, denoise)
+
+    def epoch_fn(params, state, opt_state, data3, ks, epoch_key):
+        keys = batch_keys(epoch_key, ks.shape[0])
+
+        def body(carry, inp):
+            params, state, opt_state = carry
+            k, key = inp
+            params, state, opt_state, losses = update(
+                params, state, opt_state, slice_block(data3, k), key
+            )
+            return (params, state, opt_state), losses
+
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), (ks, keys),
             unroll=cfg.epoch_scan_unroll,
         )
         return params, state, opt_state, losses
@@ -340,6 +408,31 @@ def make_eval_epoch(cfg: Config, denoise: bool, dump_keys=None):
     return jax.jit(epoch_fn)
 
 
+def make_eval_epoch_blocks(cfg: Config, denoise: bool, dump_keys=None):
+    """Block-layout mirror of `make_eval_epoch`: storage sits in identity
+    (eval) order, so block k is the k-th sequential padded batch; the mask
+    matrix marks real rows exactly as the replicated fused eval's."""
+    eval_step = _make_eval_body(cfg, denoise, dump_keys)
+
+    def epoch_fn(params, state, data3, mask_mat, epoch_key):
+        nb = mask_mat.shape[0]
+        keys = batch_keys(epoch_key, nb)
+
+        def body(_, inp):
+            k, mask, key = inp
+            batch = slice_block(data3, k)
+            batch["sample_mask"] = mask
+            return None, eval_step(params, state, batch, key)
+
+        _, (losses, outputs) = jax.lax.scan(
+            body, None, (jnp.arange(nb), mask_mat, keys),
+            unroll=cfg.epoch_scan_unroll,
+        )
+        return losses, outputs
+
+    return jax.jit(epoch_fn)
+
+
 def make_eval_step(
     cfg: Config, denoise: bool, gather: bool = False, dump_keys=None
 ):
@@ -367,3 +460,15 @@ def make_eval_step(
         return eval_step(params, state, batch, key)
 
     return jax.jit(eval_step_gather)
+
+
+def make_eval_step_blocks(cfg: Config, denoise: bool, dump_keys=None):
+    """Block-layout mirror of `make_eval_step(gather=True)`."""
+    eval_step = _make_eval_body(cfg, denoise, dump_keys)
+
+    def step(params, state, data3, k, sample_mask, key):
+        batch = slice_block(data3, k)
+        batch["sample_mask"] = sample_mask
+        return eval_step(params, state, batch, key)
+
+    return jax.jit(step)

