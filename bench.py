@@ -270,7 +270,7 @@ def bench_reference() -> float:
     return BATCH * n / dt
 
 
-def bench_onchip_parity() -> dict:
+def bench_onchip_parity(matmul_precision: str = "high") -> dict:
     """Machine-check forward numerics on the REAL backend every round (the
     CPU suite checks them on CPU only; the on-chip number was previously
     hand-measured). Committed fixture: torch-exported weights + masked input
@@ -320,7 +320,9 @@ def bench_onchip_parity() -> dict:
     state = _unflatten_nested(
         {k[len("state/"):]: v for k, v in arrays.items() if k.startswith("state/")}
     )
-    cfg = Config(fake_detection=False, aux_tasks={})
+    cfg = Config(
+        fake_detection=False, aux_tasks={}, matmul_precision=matmul_precision
+    )
     fwd = jax.jit(lambda p, s, xx: forward(p, s, cfg, xx, train=False))
 
     def run(device):
@@ -433,6 +435,25 @@ def main():
     except Exception as e:
         print(f"on-chip parity check unavailable: {e}", file=sys.stderr)
         parity, parity_ok = None, None
+    # Per-profile parity: the eval forward only sees matmul_precision, so
+    # `parity`/`tuned` share the machine-checked "high" numbers; `peak`
+    # runs plain-bf16 matmuls and is measured separately — it FAILS the
+    # vs-torch contract by design (throughput exploration only), so its
+    # field records the actual envelope instead of implying coverage.
+    try:
+        peak_parity = bench_onchip_parity(matmul_precision="default") \
+            if parity is not None else None
+    except Exception as e:
+        print(f"peak-profile parity unavailable: {e}", file=sys.stderr)
+        peak_parity = None
+    profile_parity = {
+        "parity": parity,
+        "tuned": parity,
+        "peak": peak_parity,
+        "peak_meets_contract": (
+            None if peak_parity is None else peak_parity["vs_torch"] <= 2.5e-4
+        ),
+    }
     rec = {
         "metric": "pretrain_throughput",
         "value": round(ours, 1),
@@ -458,6 +479,9 @@ def main():
         # chip itself changes vs the same jitted code on host (gate 2.5e-4).
         "onchip_parity_max_abs": parity,
         "onchip_parity_ok": parity_ok,
+        # per perf_profile (config.py): parity/tuned ride the gated "high"
+        # forward; peak is measured at its own bf16 matmuls
+        "profile_parity": profile_parity,
     }
     print(json.dumps(rec))
 
