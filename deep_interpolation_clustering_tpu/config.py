@@ -238,17 +238,19 @@ class Config:
     # bit-identity contract path; n_batches % unroll != 0 still works.
     epoch_scan_unroll: int = 1
     # XLA matmul precision. Measured on the v5e at the production shape
-    # (B=256/T=354, bench.py onchip_parity + step timing; parity figures
-    # post-r4 Newton-refined logs, PARITY.md r4 ledger):
-    #   "high"    (bf16_3x) — vs-torch 1.066e-4, 700 us/step  <- default
-    #   "highest" (f32)     — vs-torch 5.1e-5,   884 us/step
-    #   "default" (bf16)    — vs-torch 3.5e-2,   545 us/step
+    # (B=256/T=354; parity from bench.py onchip_parity post-r4
+    # Newton-refined logs, timing from the r4 one-session frontier sweep):
+    #   "high"    (bf16_3x) — vs-torch 1.066e-4, 624 us/step  <- default
+    #   "highest" (f32)     — vs-torch 5.1e-5,   753 us/step
+    #   "default" (bf16)    — vs-torch 3.5e-2,   520 us/step
     # The ~1e-4 "high" envelope splits between bf16_3x rounding inside the
     # biLSTM recurrence and chip-exp ulps on the CCI intensities; "highest"
-    # removes the matmul term at ~26% step cost. Both pass the bench's
-    # 2.5e-4 on-chip gate; the CPU parity suite is unaffected (CPU ignores
-    # this knob, always f32). Set "default" for peak throughput when parity
-    # doesn't matter.
+    # removes the matmul term at ~21% step cost (and the recurrence is
+    # where ALL of that cost lives — selective LSTM-only f32 measured
+    # identical to whole-model "highest", PARITY.md r4). Both pass the
+    # bench's 2.5e-4 on-chip gate; the CPU parity suite is unaffected (CPU
+    # ignores this knob, always f32). Set "default" for peak throughput
+    # when parity doesn't matter.
     matmul_precision: str = "high"
     # PRNG implementation for the trainer's root key (every draw in a run
     # — augmentation noise, fake-select bits, dropout, param init —
