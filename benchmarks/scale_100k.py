@@ -132,6 +132,22 @@ def main():
         "shape": list(hidden.shape),
     }))
 
+    # device-resident extract (device_dumps=True): same program, no outputs
+    # D2H — the path the DEC center init rides (the delta vs the host fetch
+    # above is pure tunnel time)
+    t0 = time.time()
+    _, ddumps = tr.eval_one_epoch(
+        "train", datasets["training"], denoise=False, dump_keys=("hidden",),
+        device_dumps=True,
+    )
+    dev_hidden = jax.block_until_ready(ddumps["hidden"][0])
+    dt = time.time() - t0
+    assert np.array_equal(np.asarray(dev_hidden[:64]), hidden[:64])
+    print(json.dumps({
+        "metric": "latent_extract_seconds_100k_device",
+        "value": round(dt, 2),
+    }))
+
     t0 = time.time()
     sel = KSelection(cfg.replace(k_max=8, n_init=3, gap_b=3), "/tmp/scale100k_run/optk")
     gap = sel.gap_statistic(hidden, version=1, plot=False)

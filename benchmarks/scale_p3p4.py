@@ -51,22 +51,33 @@ def main():
     ap.add_argument("--max_epochs", type=int, default=6)
     ap.add_argument("--kmeans_n_init", type=int, default=20)
     ap.add_argument("--cluster_number", type=int, default=4)
+    ap.add_argument("--feat_dump", default="full", choices=("full", "lean"))
     ap.add_argument("--root", default="/tmp/scale_p3p4")
     args = ap.parse_args()
 
+    # the synthetic p0 is deterministic in (n, T) and costs minutes of
+    # single-core host work — cache it across benchmark reruns
+    cache = f"/tmp/scale_cohorts_{args.n}_{args.max_obs}.npz"
     t0 = time.time()
-    cohorts = process_splits(
-        make_synthetic_cohorts(n_total=args.n, max_obs=args.max_obs),
-        rng=np.random.RandomState(0),
-    )
-    print(json.dumps({"metric": "p0_seconds", "value": round(time.time() - t0, 1),
-                      "n": args.n, "t": args.max_obs}))
+    if os.path.exists(cache):
+        with np.load(cache, allow_pickle=True) as z:
+            cohorts = {k: z[k].item() for k in z.files}
+        print(json.dumps({"metric": "p0_seconds", "value": round(time.time() - t0, 1),
+                          "n": args.n, "t": args.max_obs, "cached": True}))
+    else:
+        cohorts = process_splits(
+            make_synthetic_cohorts(n_total=args.n, max_obs=args.max_obs),
+            rng=np.random.RandomState(0),
+        )
+        np.savez(cache, **{k: np.array(v, dtype=object) for k, v in cohorts.items()})
+        print(json.dumps({"metric": "p0_seconds", "value": round(time.time() - t0, 1),
+                          "n": args.n, "t": args.max_obs}))
 
     base = dict(
         batch_size=args.batch_size, num_timestamps=args.max_obs,
         log_train_freq=100_000, log_valid_freq=100_000, early_stopping=10_000,
         kmeans_n_init=args.kmeans_n_init, cluster_number=args.cluster_number,
-        num_clusters=args.cluster_number,
+        num_clusters=args.cluster_number, feat_dump=args.feat_dump,
     )
 
     # ---- p1 warmstart: one epoch + a checkpoint for the DEC init to load
@@ -131,7 +142,8 @@ def main():
         for cohort in ("training", "validation", "testing"):
             tr3.eval(cohort, generate_feat=True, metric=m)
     print(json.dumps({"metric": "p3_feature_dump_seconds",
-                      "value": round(time.time() - t0, 1)}))
+                      "value": round(time.time() - t0, 1),
+                      "feat_dump": args.feat_dump}))
     tr3.close()
 
     # ---- p4: final labels (kmeans fit @100k + SBP align + 3 dumps)

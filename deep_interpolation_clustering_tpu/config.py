@@ -44,6 +44,17 @@ class Config:
     # dense padded length T (max observation count, reference p1:52)
     num_timestamps: int = 354
     evaluate_interpolation: bool = False
+    # feature-dump payload for eval(generate_feat=True) (p1/p3 out_feat):
+    #   "full" — every per-encounter output incl. the (n, V, T) rec_ob
+    #            reconstructions, matching the reference's dump files.
+    #   "lean" — only the keys p2/p4 consume (hidden + the DEC probability
+    #            keys; ob/padding_mask/timestamp ride along from host
+    #            planes). At 100k/T=354 "full" fetches ~850 MB of rec_ob
+    #            over the 1-15 MB/s D2H tunnel (~200 s across 3 cohorts);
+    #            "lean" fetches ~few MB. Pick "lean" unless you want the
+    #            reconstructions themselves (e.g. evaluate_interpolation
+    #            inspection).
+    feat_dump: str = "full"
     # fraction of observed points held out for the autoencoder loss
     # (reference p0_data_process.py:95-117)
     holdout_frac: float = 0.2
@@ -340,6 +351,7 @@ class Config:
         "prng_impl": ("threefry2x32", "rbg"),
         "rng_draw_bits": (32, 16),
         "kmeans_impl": ("device", "sklearn"),
+        "feat_dump": ("full", "lean"),
         "dbscan_impl": ("device", "sklearn"),
         "perf_profile": ("", "parity", "tuned", "peak"),
     }

@@ -31,6 +31,14 @@ from . import checkpoint as ckpt
 from .trainer import Trainer, _fmt
 
 
+def _cat_dump(chunks):
+    """Join eval dump chunks in batch (= dataset) order: the fused path
+    yields one device or np array, the per-batch path a host list."""
+    if len(chunks) == 1:
+        return chunks[0]
+    return np.concatenate([np.asarray(c) for c in chunks], axis=0)
+
+
 class ClusterTrainer(Trainer):
     clustering = True
 
@@ -75,15 +83,20 @@ class ClusterTrainer(Trainer):
             self.state = replicate_tree(self.mesh, self.state)
 
     def generate_pretrain_feat(self, cohort: str, denoise: bool = False):
+        """Latent extraction for the center init (reference
+        clustering_trainer.py:74-82's feature pass). Returns the (n, d)
+        `hidden` array in dataset order — device-resident when the fused
+        single-process eval runs, so the only consumer (on-device k-means)
+        never pays the D2H tunnel; np on the multi-host / per-batch paths."""
         from ..info import COHORT2SCOPE
 
         # center init only consumes the latents — skip the D2H of rec_ob etc.
         metrics, dumps = self.eval_one_epoch(
             COHORT2SCOPE[cohort], self.datasets[cohort], denoise,
-            dump_keys=("hidden",),
+            dump_keys=("hidden",), device_dumps=True,
         )
         logger.info("%s %s", cohort, _fmt(metrics))
-        return self.merge_ob_pred(self.datasets[cohort], dumps)
+        return _cat_dump(dumps["hidden"])
 
     def init_centers(self) -> Optional[np.ndarray]:
         """Returns the previous validation cluster prediction (or None)."""
@@ -92,20 +105,21 @@ class ClusterTrainer(Trainer):
         if mode == "none":
             return None
         self.load_pretrain_weight()
-        train_feat = self.generate_pretrain_feat("training")
-        hidden = train_feat["hidden"]
+        hidden = self.generate_pretrain_feat("training")
         if mode == "kmeans":
             from ..cluster.kmeans import fit_kmeans_impl
 
+            if cfg.kmeans_impl == "sklearn":  # host mirror needs host arrays
+                hidden = np.asarray(hidden)
             result = fit_kmeans_impl(
                 cfg, cfg.seed, hidden, cfg.cluster_number, n_init=cfg.kmeans_n_init
             )
-            centers = np.asarray(result.centers)
-            valid_feat = self.generate_pretrain_feat("validation")
-            valid_prev = np.asarray(
-                kmeans_predict(result.centers, valid_feat["hidden"])
+            centers = result.centers
+            valid_prev = kmeans_predict(
+                jnp.asarray(centers), self.generate_pretrain_feat("validation")
             )
         elif mode == "random":
+            hidden = np.asarray(hidden)
             lo, hi = hidden.min(axis=0), hidden.max(axis=0)
             rng = np.random.RandomState(cfg.seed)
             centers = rng.uniform(lo, hi, size=(cfg.cluster_number, hidden.shape[-1]))
@@ -122,16 +136,24 @@ class ClusterTrainer(Trainer):
     def generate_pred_cluster(
         self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray], denoise=False
     ) -> Tuple[float, np.ndarray, Dict[str, float]]:
-        # delta only consumes the soft assignments
+        """Per-epoch cluster re-prediction + label-change delta (reference
+        clustering_trainer.py:118-124). The soft assignments stay on device
+        when the fused eval allows it: argmax + the changed-label count run
+        there and only the delta scalar syncs to host, so the per-epoch
+        delta eval costs one scalar D2H instead of an (n, K) dump fetch
+        (first-max tie-breaking is identical in np and jnp argmax)."""
         metrics, dumps = self.eval_one_epoch(
-            scope, ds, denoise, dump_keys=("cluster_pred",)
+            scope, ds, denoise, dump_keys=("cluster_pred",), device_dumps=True
         )
-        ob_pred = self.merge_ob_pred(ds, dumps)
-        cluster_pred = np.argmax(ob_pred["cluster_pred"], axis=1)
+        pred = _cat_dump(dumps["cluster_pred"])
+        xp = jnp if isinstance(pred, jax.Array) else np
+        cluster_pred = xp.argmax(pred, axis=1)
         if prev_pred is None:
             delta = 1.0
         else:
-            delta = float(np.sum(cluster_pred != prev_pred) / prev_pred.shape[0])
+            delta = float(
+                xp.sum(cluster_pred != xp.asarray(prev_pred))
+            ) / int(prev_pred.shape[0])
         return delta, cluster_pred, metrics
 
     def train(self) -> Dict[str, float]:

@@ -512,13 +512,20 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
     def eval_one_epoch(
-        self, scope: str, ds: ArrayDataset, denoise: bool, dump_keys=None
+        self, scope: str, ds: ArrayDataset, denoise: bool, dump_keys=None,
+        device_dumps: bool = False,
     ):
         """No-grad mirror of the train epoch; collects per-sample dumps
         (reference pretrain_trainer.py:243-366). Batches are shape-padded to
         a single compiled shape; sample masks keep the metrics exact.
         `dump_keys` restricts which outputs are fetched to the host — at
-        100k scale the D2H of unneeded rec_ob dominates latent extraction."""
+        100k scale the D2H of unneeded rec_ob dominates latent extraction.
+        `device_dumps=True` goes further and skips the outputs D2H entirely,
+        returning device-resident dump arrays for consumers whose next op is
+        itself on-device (DEC center init / delta eval). Honored on the
+        single-process fused path only — multi-host keeps the allgather
+        fetch, the per-batch path keeps host stacking — so callers must
+        accept either np or jax arrays."""
         cfg = self.cfg
         salt = int.from_bytes(scope.encode()[:4].ljust(4, b"\0"), "little")
         epoch_key = self._epoch_key(self.epoch, salt=salt)
@@ -528,7 +535,7 @@ class Trainer:
 
         if cfg.device_data and cfg.fused_epoch:
             return self._eval_one_epoch_fused(
-                scope, ds, denoise, epoch_key, dump_keys
+                scope, ds, denoise, epoch_key, dump_keys, device_dumps
             )
 
         step_fn = self._eval_step(denoise, dump_keys)
@@ -592,9 +599,14 @@ class Trainer:
         metrics = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
         return metrics, dumps
 
-    def _eval_one_epoch_fused(self, scope, ds, denoise, epoch_key, dump_keys):
+    def _eval_one_epoch_fused(self, scope, ds, denoise, epoch_key, dump_keys,
+                              device_dumps: bool = False):
         """Fused eval: one scan over padded index rows; outputs stack on
-        device, so the whole cohort's dumps arrive in one bulk fetch."""
+        device, so the whole cohort's dumps arrive in one bulk fetch — or,
+        with `device_dumps`, never leave the device at all (the fetch is the
+        cost: over the axon tunnel D2H runs 1-15 MB/s, so a 70k-latent
+        extraction spends minutes moving arrays whose only consumer is the
+        on-device k-means)."""
         cfg = self.cfg
         n, b = len(ds), cfg.batch_size
         n_batches = -(-n // b)
@@ -619,7 +631,10 @@ class Trainer:
                 self._put_idx_mat(mask.reshape(n_batches, b)),
                 epoch_key,
             )
-        losses, outputs = device_fetch((losses, outputs))
+        if device_dumps and jax.process_count() == 1:
+            losses = jax.device_get(losses)
+        else:
+            losses, outputs = device_fetch((losses, outputs))
 
         metrics = {k: float(np.mean(v)) for k, v in losses.items()}
         logger.info("%d: %s-%s", self.epoch, scope, _fmt(metrics))
@@ -657,6 +672,8 @@ class Trainer:
         if cfg.norm_method != "minmax":
             raise NotImplementedError(cfg.norm_method)
         for k in ("ob", "rec_ob"):
+            if k not in ob_pred:  # feat_dump="lean" drops rec_ob
+                continue
             data = ob_pred[k]
             if cfg.scale != 0:  # scale=0 disables the affine input scaling
                 renorm = (data + cfg.scale / 2) / cfg.scale  # back to [0, 1]
@@ -686,7 +703,13 @@ class Trainer:
         scope = COHORT2SCOPE[cohort]
         if self.cfg.evaluate_interpolation:
             denoise = True
-        metrics, dumps = self.eval_one_epoch(scope, ds, denoise)
+        # feat_dump="lean": fetch only the keys p2/p4 read from the files
+        # (Config.feat_dump) — rec_ob dominates the D2H otherwise
+        dump_keys = (
+            None if self.cfg.feat_dump == "full"
+            else ("hidden", "cluster_pred", "cluster_label")
+        )
+        metrics, dumps = self.eval_one_epoch(scope, ds, denoise, dump_keys)
         logger.info("%s %s", scope, _fmt(metrics))
         ob_pred = self.merge_ob_pred(ds, dumps)
         ob_pred = self.re_norm_data(ob_pred)

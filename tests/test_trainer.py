@@ -74,6 +74,81 @@ def test_pretrain_eval_dump_roundtrip(tmp_path, cohorts):
 
 
 @pytest.mark.slow
+def test_feat_dump_lean_keeps_p4_keys(tmp_path, cohorts):
+    """feat_dump="lean" writes dump files without rec_ob but with every key
+    p2/p4 load (LOAD_KEYS + host planes), and hidden matches "full" exactly."""
+    from deep_interpolation_clustering_tpu.cluster.final import LOAD_KEYS
+
+    cfg = tiny_cfg(max_epochs=2)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path / "full"),
+                 use_tensorboard=False)
+    tr.train()
+    full = tr.eval("testing", generate_feat=True)
+    tr.close()
+
+    lean_cfg = tiny_cfg(max_epochs=2, feat_dump="lean")
+    tr2 = Trainer(lean_cfg, make_datasets(lean_cfg, cohorts),
+                  str(tmp_path / "lean"), use_tensorboard=False)
+    tr2.train()
+    lean = tr2.eval("testing", generate_feat=True)
+    tr2.close()
+
+    assert "rec_ob" not in lean
+    for k in LOAD_KEYS:
+        assert k in lean
+    np.testing.assert_array_equal(lean["hidden"], full["hidden"])
+    path = tmp_path / "lean" / "out_feat" / lean_cfg.restore_metric / "testing.npy"
+    loaded = np.load(path, allow_pickle=True).item()
+    assert "rec_ob" not in loaded and "hidden" in loaded
+
+
+def test_eval_device_dumps_bit_identical(tmp_path, cohorts):
+    """`device_dumps=True` must return the SAME values as the host fetch —
+    it only moves where the D2H happens (DEC center init / delta eval
+    consume these on device; over the axon tunnel skipping the fetch is the
+    difference between ~3 min and ~1 s of p3 center init at 100k)."""
+    cfg = tiny_cfg(max_epochs=1)
+    tr = Trainer(cfg, make_datasets(cfg, cohorts), str(tmp_path), use_tensorboard=False)
+    ds = tr.datasets["validation"]
+    _, dev = tr.eval_one_epoch("valid", ds, False, dump_keys=("hidden",),
+                               device_dumps=True)
+    _, host = tr.eval_one_epoch("valid", ds, False, dump_keys=("hidden",))
+    assert isinstance(dev["hidden"][0], jax.Array)
+    assert isinstance(host["hidden"][0], np.ndarray)
+    np.testing.assert_array_equal(
+        np.asarray(dev["hidden"][0]), np.concatenate(host["hidden"])
+    )
+
+
+@pytest.mark.slow
+def test_dec_delta_matches_host_recompute(tmp_path, cohorts):
+    """generate_pred_cluster's on-device argmax + delta must equal the
+    host-side recompute from fetched soft assignments (reference
+    clustering_trainer.py:118-124 semantics)."""
+    pre_cfg = tiny_cfg(max_epochs=2)
+    pre_path = str(tmp_path / "pre")
+    pre = Trainer(pre_cfg, make_datasets(pre_cfg, cohorts), pre_path,
+                  use_tensorboard=False)
+    pre.train()
+    pre.close()
+
+    cfg = tiny_cfg(loss="ae_mse_sup_fake_detect_kl", cluster_number=3,
+                   stopping_delta=None, max_epochs=1)
+    tr = ClusterTrainer(cfg, make_datasets(cfg, cohorts), str(tmp_path / "dec"),
+                        pretrain_exp_path=pre_path, use_tensorboard=False)
+    valid_prev = tr.init_centers()
+    ds = tr.datasets["validation"]
+    delta, pred, _ = tr.generate_pred_cluster("valid", ds, valid_prev)
+    # host recompute from the fetched dump (the pre-r4 path)
+    _, dumps = tr.eval_one_epoch("valid", ds, False, dump_keys=("cluster_pred",))
+    host_pred = np.argmax(np.concatenate(dumps["cluster_pred"]), axis=1)
+    np.testing.assert_array_equal(np.asarray(pred), host_pred)
+    prev = np.asarray(valid_prev)
+    assert delta == float(np.sum(host_pred != prev) / prev.shape[0])
+    tr.close()
+
+
+@pytest.mark.slow
 def test_trainer_restore_continues(tmp_path, cohorts):
     from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
 
