@@ -21,6 +21,7 @@ import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -29,6 +30,18 @@ from ..utils import logger
 from .kmeans import kmeans_fit, mean_min_distance
 from .kneedle import kneedle
 from .metrics import compute_internal_metrics, inertia_v1, inertia_v2
+
+
+def _rows_f32(x):
+    """f32 rows WITHOUT forcing a host round-trip: jax arrays stay on
+    device — every K-selection hot op (k-means, distortions, inertias,
+    internal indices) is on-device anyway, and callers holding
+    device-resident latents (`eval_one_epoch(device_dumps=True)`) would
+    otherwise pay minutes of D2H over a tunneled backend at 100k+ scale.
+    Host inputs become contiguous f32 np arrays exactly as before."""
+    if isinstance(x, jax.Array):
+        return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    return np.asarray(x, np.float32)
 
 
 def _read_gap_csv(path: str) -> List[Dict]:
@@ -144,8 +157,8 @@ class KSelection:
         """Distortion (mean min distance to center) for K=2..k_max on train
         and valid (reference p2:254-274), plus the Kneedle elbow."""
         ks = list(range(2, self.cfg.k_max + 1))
-        train_feat = self._put_rows(np.asarray(train_feat, np.float32))
-        valid_feat = self._put_rows(np.asarray(valid_feat, np.float32))
+        train_feat = self._put_rows(_rows_f32(train_feat))
+        valid_feat = self._put_rows(_rows_f32(valid_feat))
         train_d, valid_d = [], []
         for k in ks:
             logger.info("elbow: running K=%d", k)
@@ -190,7 +203,8 @@ class KSelection:
         cfg = self.cfg
         names = list(internal_metric_names or cfg.internal_metrics)
         csv_path = os.path.join(self.out_path, f"gap_sts_v{version}.csv")
-        data = np.asarray(data, np.float32)
+        data = _rows_f32(data)
+        on_device = isinstance(data, jax.Array)
         fp = self._gap_fingerprint(data, version, seed, names)
         if os.path.exists(csv_path) and not cfg.overwrite:
             # reuse the previous sweep's table (reference p2:281-287) —
@@ -217,7 +231,7 @@ class KSelection:
             except OSError:
                 pass
         lo, rng_width = float(data.min()), float(data.max() - data.min())
-        data_dev = self._put_rows(data)  # after the fingerprint: it hashes host bytes
+        data_dev = self._put_rows(data)  # after the fingerprint (hashes content)
         rng = np.random.RandomState(seed)
         rows: List[Dict] = []
         ks = list(range(2, cfg.k_max + 1))
@@ -227,13 +241,29 @@ class KSelection:
         root = jax.random.PRNGKey(seed)
         ref_stream = jax.random.fold_in(root, 0)
         data_stream = jax.random.fold_in(root, 1)
+        draw_stream = jax.random.fold_in(root, 2)
         for k in ks:
             logs = []
             ref_k = jax.random.fold_in(ref_stream, k)
+            draw_k = jax.random.fold_in(draw_stream, k)
             for b in range(cfg.gap_b):
-                ref = self._put_rows(
-                    rng.random_sample(data.shape).astype(np.float32) * rng_width + lo
-                )
+                if on_device:
+                    # device-resident input: draw the uniform reference
+                    # cohort on device too (host RandomState would push
+                    # n×d over the H2D link per draw). A DIFFERENT but
+                    # equally-valid Monte-Carlo stream than the host-input
+                    # path — the `act` column is identical either way (the
+                    # data fits share keys); only the ref estimate's noise
+                    # realization differs.
+                    ref = self._put_rows(jax.random.uniform(
+                        jax.random.fold_in(draw_k, b), data.shape,
+                        jnp.float32, minval=lo, maxval=lo + rng_width,
+                    ))
+                else:
+                    ref = self._put_rows(
+                        rng.random_sample(data.shape).astype(np.float32)
+                        * rng_width + lo
+                    )
                 r = kmeans_fit(
                     jax.random.fold_in(ref_k, b), ref, k, n_init=cfg.n_init
                 )
@@ -252,8 +282,13 @@ class KSelection:
                 "ref_s": ref_s,
             }
             # device_fetch: under a multi-process mesh the labels are
-            # row-sharded and a plain asarray cannot address remote shards
-            labels = device_fetch(r.labels)
+            # row-sharded and a plain asarray cannot address remote shards;
+            # single-process device input keeps them on device (the
+            # internal metrics consume them there)
+            if on_device and jax.process_count() == 1:
+                labels = r.labels
+            else:
+                labels = device_fetch(r.labels)
             row.update(compute_internal_metrics(names, data, labels, k))
             logger.info(
                 "k: %d, gap: %.4f, ref: %.4f, act: %.4f, ref_s: %.4f",
@@ -271,11 +306,27 @@ class KSelection:
     ) -> str:
         """Content hash of everything that determines the gap table: the
         latents themselves plus every sweep parameter. ~0.1 s even for
-        100k×256 latents — negligible next to the k-means it guards."""
+        100k×256 latents — negligible next to the k-means it guards.
+
+        Device-resident inputs hash cheap on-device reductions (per-dim
+        sums + squared sums + global extrema) instead of the full bytes —
+        fetching n×d floats would cost the exact D2H this input mode
+        avoids, and any real change to the latents moves the moments. The
+        two input modes hash differently on purpose: switching modes
+        recomputes once and re-fingerprints."""
         import hashlib
 
         h = hashlib.blake2b(digest_size=16)
-        h.update(np.ascontiguousarray(data).tobytes())
+        if isinstance(data, jax.Array):
+            digest = jnp.concatenate([
+                jnp.sum(data, axis=0),
+                jnp.sum(jnp.square(data), axis=0),
+                jnp.stack([jnp.min(data), jnp.max(data)]),
+            ])
+            h.update(b"device-moments-v1")
+            h.update(np.asarray(jax.device_get(digest)).tobytes())
+        else:
+            h.update(np.ascontiguousarray(data).tobytes())
         h.update(repr((data.shape, version, seed, tuple(names), self.cfg.k_max,
                        self.cfg.n_init, self.cfg.gap_b)).encode())
         return h.hexdigest()

@@ -220,6 +220,41 @@ def test_kselection_on_mesh_matches_single_device(tmp_path, rng):
     assert g3["rows"][0]["k"] == 2
 
 
+def test_kselection_device_resident_latents(tmp_path, rng):
+    """elbow/gap accept device-resident latents (jax arrays) without a
+    host round-trip: distortions and the gap's `act` inertia column are
+    IDENTICAL to the np-input path (the data fits share PRNG keys; only
+    the gap's uniform reference draws use a different — on-device — MC
+    stream), and the device-moments fingerprint makes the CSV reuse gate
+    work for device inputs too."""
+    import jax.numpy as jnp
+
+    cfg = Config(k_max=4, n_init=2, gap_b=2)
+    x = rng.randn(60, 8).astype(np.float32)
+    xd = jnp.asarray(x)
+
+    host = KSelection(cfg, str(tmp_path / "host"))
+    dev = KSelection(cfg, str(tmp_path / "dev"))
+    e1 = host.elbow(x, x, plot=False)
+    e2 = dev.elbow(xd, xd, plot=False)
+    assert e1["elbow_k"] == e2["elbow_k"]
+    np.testing.assert_array_equal(e1["train"], e2["train"])
+
+    g1 = host.gap_statistic(x, version=1, plot=False)
+    g2 = dev.gap_statistic(xd, version=1, plot=False)
+    for r1, r2 in zip(g1["rows"], g2["rows"]):
+        assert r1["k"] == r2["k"]
+        assert r1["act"] == r2["act"]  # same keys + bits -> same fit
+    # device-input CSV reuse: same latents -> table reused untouched
+    mtime = os.stat(g2["csv"]).st_mtime_ns
+    g3 = dev.gap_statistic(xd, version=1, plot=False)
+    assert os.stat(g3["csv"]).st_mtime_ns == mtime
+    assert [r["k"] for r in g3["rows"]] == [r["k"] for r in g2["rows"]]
+    # changed device latents -> moments digest mismatch -> recompute
+    g4 = dev.gap_statistic(xd + 1.0, version=1, plot=False)
+    assert os.stat(g4["csv"]).st_mtime_ns != mtime
+
+
 def test_gap_reuse_fingerprint_guard(tmp_path, rng):
     """The gap-CSV reuse gate is fingerprinted: changed latents recompute
     (the reference's existence-only gate silently returns the stale table,
