@@ -99,9 +99,12 @@ def main():
     )
 
     # ---- device-resident latent extraction over the 700k train encounters
-    _, warm = tr1.eval_one_epoch("train", ds1["training"], False,
-                                 dump_keys=("hidden",), device_dumps=True)
-    jax.block_until_ready(warm["hidden"][0])  # compile excluded below
+    # warm BOTH eval programs (train/valid scan lengths compile separately)
+    # so the timed section below measures execution, not one-time compiles
+    for scope, ds_w in (("train", ds1["training"]), ("valid", ds1["validation"])):
+        _, warm = tr1.eval_one_epoch(scope, ds_w, False,
+                                     dump_keys=("hidden",), device_dumps=True)
+        jax.block_until_ready(warm["hidden"][0])
     t0 = time.time()
     _, dumps = tr1.eval_one_epoch("train", ds1["training"], False,
                                   dump_keys=("hidden",), device_dumps=True)
