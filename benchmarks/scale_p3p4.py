@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--kmeans_n_init", type=int, default=20)
     ap.add_argument("--cluster_number", type=int, default=4)
     ap.add_argument("--feat_dump", default="full", choices=("full", "lean"))
+    ap.add_argument("--warmstart_epochs", type=int, default=1)
     ap.add_argument("--root", default="/tmp/scale_p3p4")
     args = ap.parse_args()
 
@@ -80,20 +81,28 @@ def main():
         num_clusters=args.cluster_number, feat_dump=args.feat_dump,
     )
 
-    # ---- p1 warmstart: one epoch + a checkpoint for the DEC init to load
+    # ---- p1 warmstart: N epochs + a checkpoint for the DEC init to load.
+    # --warmstart_epochs matters for the DEC delta trajectory: with 1
+    # epoch the latents keep reorganizing under KL and the 1e-4 delta
+    # stop never fires (measured to 400 epochs, PARITY.md); a properly
+    # pretrained handoff is the production p1->p3 shape.
     p1_path = os.path.join(args.root, "Pretrain")
-    cfg1 = Config(max_epochs=2, **base)
+    cfg1 = Config(max_epochs=args.warmstart_epochs + 1, **base)
     ds1 = {c: ArrayDataset(cfg1, d, c) for c, d in cohorts.items()}
     t0 = time.time()
     tr1 = Trainer(cfg1, ds1, p1_path, use_tensorboard=False)
-    tr1.train_one_epoch(ds1["training"], denoise=False)
+    for _ in range(args.warmstart_epochs):
+        tr1.train_one_epoch(ds1["training"], denoise=False)
+        tr1.epoch += 1
     ckpt.save_checkpoint(
         os.path.join(tr1.weight_paths[cfg1.restore_metric], ckpt.CKPT_NAME),
-        1, tr1.params, tr1.state, tr1.opt_state, extra={"metric": "warmstart"},
+        tr1.epoch, tr1.params, tr1.state, tr1.opt_state,
+        extra={"metric": "warmstart"},
     )
     tr1.close()
     print(json.dumps({"metric": "p1_warmstart_seconds",
-                      "value": round(time.time() - t0, 1)}))
+                      "value": round(time.time() - t0, 1),
+                      "epochs": args.warmstart_epochs}))
 
     # ---- p3: DEC
     p3_path = os.path.join(args.root, "Clustering")
