@@ -92,3 +92,39 @@ def time_epoch(cfg, n_batches=20, epochs=8):
     t_short = run(2, 100)
     t_long = run(epochs + 2, 200)
     return (t_long - t_short) / epochs / n_batches
+
+
+def cached_synthetic_cohorts(n, max_obs):
+    """Processed synthetic cohorts for the scale benchmarks, cached in /tmp.
+
+    The synthetic p0 is deterministic in (n, max_obs) with the generator
+    defaults pinned here (seed 0, default phenotypes) and costs minutes of
+    single-core host work at scale (125-205 s at 100k/T=354). One copy so
+    scale_100k and scale_p3p4 can't drift apart or read each other's stale
+    caches after a generator change — bump _COHORT_CACHE_V on any change to
+    the generator or to process_splits.
+
+    Returns (cohorts, seconds_spent, was_cached).
+    """
+    import time as _time
+
+    from deep_interpolation_clustering_tpu.data.synthetic import (
+        make_synthetic_cohorts,
+    )
+    from deep_interpolation_clustering_tpu.data.preprocess import process_splits
+
+    _COHORT_CACHE_V = 1
+    cache = f"/tmp/scale_cohorts_v{_COHORT_CACHE_V}_{n}_{max_obs}.npz"
+    t0 = _time.time()
+    import os
+
+    if os.path.exists(cache):
+        with np.load(cache, allow_pickle=True) as z:
+            cohorts = {k: z[k].item() for k in z.files}
+        return cohorts, _time.time() - t0, True
+    cohorts = process_splits(
+        make_synthetic_cohorts(n_total=n, max_obs=max_obs),
+        rng=np.random.RandomState(0),
+    )
+    np.savez(cache, **{k: np.array(v, dtype=object) for k, v in cohorts.items()})
+    return cohorts, _time.time() - t0, False

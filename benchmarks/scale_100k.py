@@ -20,17 +20,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import numpy as np
 
+from _harness import cached_synthetic_cohorts  # noqa: E402
+
 from deep_interpolation_clustering_tpu import Config
 from deep_interpolation_clustering_tpu.cluster import KSelection
-from deep_interpolation_clustering_tpu.data import (
-    ArrayDataset,
-    make_synthetic_cohorts,
-    process_splits,
-)
+from deep_interpolation_clustering_tpu.data import ArrayDataset
 from deep_interpolation_clustering_tpu.parallel import make_mesh
 from deep_interpolation_clustering_tpu.train import Trainer
 
@@ -51,23 +50,14 @@ def main():
                     help="epoch timing only (skip latents + gap statistic)")
     args = ap.parse_args()
 
-    # deterministic in (n, T): cache across benchmark reruns (the T=354
-    # variant costs 125-205 s of single-core host work per run otherwise)
-    cache = f"/tmp/scale_cohorts_{args.n}_{args.max_obs}.npz"
-    t0 = time.time()
-    if os.path.exists(cache):
-        with np.load(cache, allow_pickle=True) as z:
-            cohorts = {k: z[k].item() for k in z.files}
-        print(json.dumps({"metric": "p0_100k_seconds",
-                          "value": round(time.time() - t0, 1), "cached": True}))
-    else:
-        cohorts = process_splits(
-            make_synthetic_cohorts(n_total=args.n, max_obs=args.max_obs),
-            rng=np.random.RandomState(0),
-        )
-        np.savez(cache, **{k: np.array(v, dtype=object) for k, v in cohorts.items()})
-        print(json.dumps({"metric": "p0_100k_seconds",
-                          "value": round(time.time() - t0, 1)}))
+    # synthetic p0, /tmp-cached across benchmark reruns (shared helper —
+    # one copy of the cache format between scale_p3p4 and this script; the
+    # T=354 variant costs 125-205 s of single-core host work uncached)
+    cohorts, p0_s, cached = cached_synthetic_cohorts(args.n, args.max_obs)
+    rec = {"metric": "p0_100k_seconds", "value": round(p0_s, 1)}
+    if cached:
+        rec["cached"] = True
+    print(json.dumps(rec))
 
     # epoch_scan_unroll=4: +7% on the fused T=48 epoch (benchmarks/
     # unroll_sweep.py, r3) — this analytics bench carries no fused==stepped

@@ -29,16 +29,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from _harness import cached_synthetic_cohorts  # noqa: E402
+
 from deep_interpolation_clustering_tpu import Config
 from deep_interpolation_clustering_tpu.cluster import FinalLabeler
-from deep_interpolation_clustering_tpu.data import (
-    ArrayDataset,
-    make_synthetic_cohorts,
-    process_splits,
-)
+from deep_interpolation_clustering_tpu.data import ArrayDataset
 from deep_interpolation_clustering_tpu.train import ClusterTrainer, Trainer
 from deep_interpolation_clustering_tpu.train import checkpoint as ckpt
 
@@ -56,23 +55,14 @@ def main():
     ap.add_argument("--root", default="/tmp/scale_p3p4")
     args = ap.parse_args()
 
-    # the synthetic p0 is deterministic in (n, T) and costs minutes of
-    # single-core host work — cache it across benchmark reruns
-    cache = f"/tmp/scale_cohorts_{args.n}_{args.max_obs}.npz"
-    t0 = time.time()
-    if os.path.exists(cache):
-        with np.load(cache, allow_pickle=True) as z:
-            cohorts = {k: z[k].item() for k in z.files}
-        print(json.dumps({"metric": "p0_seconds", "value": round(time.time() - t0, 1),
-                          "n": args.n, "t": args.max_obs, "cached": True}))
-    else:
-        cohorts = process_splits(
-            make_synthetic_cohorts(n_total=args.n, max_obs=args.max_obs),
-            rng=np.random.RandomState(0),
-        )
-        np.savez(cache, **{k: np.array(v, dtype=object) for k, v in cohorts.items()})
-        print(json.dumps({"metric": "p0_seconds", "value": round(time.time() - t0, 1),
-                          "n": args.n, "t": args.max_obs}))
+    # synthetic p0, /tmp-cached across benchmark reruns (shared helper —
+    # one copy of the cache format between scale_100k and this script)
+    cohorts, p0_s, cached = cached_synthetic_cohorts(args.n, args.max_obs)
+    rec = {"metric": "p0_seconds", "value": round(p0_s, 1),
+           "n": args.n, "t": args.max_obs}
+    if cached:
+        rec["cached"] = True
+    print(json.dumps(rec))
 
     base = dict(
         batch_size=args.batch_size, num_timestamps=args.max_obs,

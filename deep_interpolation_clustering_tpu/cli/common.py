@@ -120,13 +120,22 @@ def p0_fingerprint(cfg: Config, source_items) -> str:
     return h.hexdigest()
 
 
-def p0_cache_valid(cfg: Config, fp: str) -> bool:
-    """True iff every cohort pickle exists and the sidecar matches `fp`."""
+def p0_cache_valid(cfg: Config, fp: str, extra_outputs=()) -> bool:
+    """True iff every cohort pickle (plus any `extra_outputs` the mode also
+    writes, e.g. raw mode's abnormal-vital aux CSV) exists and the sidecar
+    matches `fp` — a cache hit must vouch for EVERY p0 artifact, not just
+    the pickles."""
     d = processed_dir(cfg)
     if not all(
         os.path.exists(os.path.join(d, f"{c}.pickle")) for c in COHORTS
     ):
         return False
+    for path in extra_outputs:
+        if not os.path.exists(path):
+            logger.warning(
+                "p0 pickles exist but %s is missing — recomputing", path
+            )
+            return False
     try:
         with open(_p0_fp_path(cfg)) as f:
             saved = f.read().strip()

@@ -77,7 +77,12 @@ def main(argv=None):
     else:
         parser.error("one of --raw_dir or --synthetic is required")
     fp = p0_fingerprint(cfg, sources)
-    if not cfg.overwrite and p0_cache_valid(cfg, fp):
+    # raw mode also writes the aux CSV; a cache hit must vouch for it too
+    extra_outputs = (
+        [os.path.join(cfg.base_path, "next_hour_abnormal_norm_val.csv")]
+        if args.raw_dir else []
+    )
+    if not cfg.overwrite and p0_cache_valid(cfg, fp, extra_outputs):
         logger.info(
             "p0: split_processed pickles match the current inputs/config — "
             "skipping recompute (pass --overwrite true to force)"

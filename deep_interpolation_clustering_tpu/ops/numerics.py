@@ -31,17 +31,29 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# Trust region for the Newton correction: outside s in (1e-30, 1e30) the
+# intermediate exp(-log(s)) leaves f32's NORMAL range (|log s| > ~69 starts
+# approaching the exp(±87.3) subnormal/overflow edges) and the step itself
+# breaks down — measured on the v5e, exp(-l) flushes to zero for
+# l in [87.3, 88.7] (subnormal FTZ), making corr = s*0 - 1 = exactly -1.0,
+# and s = inf makes it inf*0 - 1 = NaN. Outside the region the correction
+# is dropped and the platform log passes through unrefined: those are
+# divergence regimes (softplus arguments > 69) where the reference's own
+# naive torch.log(1 + e^x) is the semantics to match, not a tighter one.
+_NEWTON_LO = 1e-30
+_NEWTON_HI = 1e30
+
 
 def _log_refined(s: Array) -> Array:
-    """`log(s)` for s > 0 with one Newton correction of the platform log.
+    """`log(s)` for s >= 0 with one Newton correction of the platform log.
 
     Handles s == 0 (all-masked logsumexp rows): log(0) = -inf passes
-    through, and the correction is where-guarded so `0 * exp(inf)` never
-    produces NaN.
+    through; the correction is where-guarded to the trust region above so
+    `0 * exp(inf)` / subnormal-flush cases never corrupt the base value.
     """
     l = jnp.log(s)
     corr = s * jnp.exp(-l) - 1.0
-    corr = jnp.where(s > 0, corr, 0.0)
+    corr = jnp.where((s > _NEWTON_LO) & (s < _NEWTON_HI), corr, 0.0)
     return l + jax.lax.stop_gradient(corr)
 
 
@@ -51,11 +63,11 @@ def softplus_refined(x: Array) -> Array:
     Matches the reference's positivity transform (interpolation_layer.py:51,
     rbf.py:78) to ~exp-ulp instead of the chip log's ~300 ulp. For the
     parameter ranges seen here (|x| small) the naive form is stable; the
-    reference itself uses torch.log(1 + e^x).
+    reference itself uses torch.log(1 + e^x), so the overflow behavior at
+    x > ~88.7 (s = inf -> result inf) is reference semantics and the
+    correction is dropped there (see _NEWTON_HI above).
     """
-    s = 1.0 + jnp.exp(x)
-    l = jnp.log(s)
-    return l + jax.lax.stop_gradient(s * jnp.exp(-l) - 1.0)
+    return _log_refined(1.0 + jnp.exp(x))
 
 
 def logsumexp_refined(logits: Array, axis: int, keepdims: bool = False) -> Array:

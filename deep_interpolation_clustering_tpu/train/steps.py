@@ -245,6 +245,14 @@ def make_train_step(
     update = _make_update(cfg, optimizer, denoise)
 
     if not gather:
+        if masked:
+            # no caller builds this today (the streamed-batch path pads the
+            # batch itself); fail loudly rather than hand back a 5-arg
+            # unmasked step to someone expecting the 7-arg masked contract
+            raise NotImplementedError(
+                "masked=True requires gather=True (device-resident cohort); "
+                "the streamed-batch path carries sample_mask in the batch"
+            )
         return jax.jit(update, donate_argnums=(0, 1, 2))
 
     if masked:

@@ -704,9 +704,13 @@ class Trainer:
         if self.cfg.evaluate_interpolation:
             denoise = True
         # feat_dump="lean": fetch only the keys p2/p4 read from the files
-        # (Config.feat_dump) — rec_ob dominates the D2H otherwise
+        # (Config.feat_dump) — rec_ob dominates the D2H otherwise. An
+        # interpolation-evaluation dump exists FOR the reconstructions
+        # (reference pretrain_trainer.py:90-117's denoise branch), so
+        # evaluate_interpolation overrides lean back to the full payload.
         dump_keys = (
-            None if self.cfg.feat_dump == "full"
+            None
+            if self.cfg.feat_dump == "full" or self.cfg.evaluate_interpolation
             else ("hidden", "cluster_pred", "cluster_label")
         )
         metrics, dumps = self.eval_one_epoch(scope, ds, denoise, dump_keys)

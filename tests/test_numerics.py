@@ -117,3 +117,30 @@ def test_sci_forward_uses_refinement_without_changing_cpu_numerics():
     yt = jnp.sum(jnp.exp(lt - wt[:, :, None, :]) * xp[..., None], axis=2)
     want = jnp.transpose(jnp.concatenate([y, w, yt], axis=1), (0, 2, 1))
     np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6)
+
+
+def test_softplus_overflow_regime_matches_naive_reference_form():
+    # Trust-region guard (ops/numerics.py _NEWTON_LO/HI): outside it the
+    # Newton step's exp(-log s) hits f32 subnormal/overflow edges — on the
+    # v5e FTZ made corr = -1.0 exactly for x in [87.3, 88.7] and NaN past
+    # inf. The contract: large-x softplus equals the reference's naive
+    # torch.log(1 + e^x) (≈ x while exp(x) is finite, inf past ~88.7),
+    # never NaN, never off by 1.
+    x = jnp.asarray([20.0, 69.0, 80.0, 87.5, 88.0, 88.6], jnp.float32)
+    got = np.asarray(softplus_refined(x))
+    assert not np.any(np.isnan(got))
+    np.testing.assert_allclose(got, np.asarray(x), rtol=1e-6)
+    big = np.asarray(softplus_refined(jnp.asarray([89.0, 500.0], jnp.float32)))
+    assert np.isposinf(big).all()
+
+
+def test_log_refined_extremes_no_nan():
+    from deep_interpolation_clustering_tpu.ops.numerics import _log_refined
+
+    s = jnp.asarray([0.0, 1e-35, 1.0, 1e35, np.inf], jnp.float32)
+    got = np.asarray(_log_refined(s))
+    assert not np.any(np.isnan(got))
+    assert np.isneginf(got[0]) and np.isposinf(got[-1])
+    np.testing.assert_allclose(
+        got[1:4], np.log(np.asarray([1e-35, 1.0, 1e35])), rtol=1e-6, atol=1e-7
+    )

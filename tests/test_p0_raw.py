@@ -126,3 +126,13 @@ def test_p0_cache_skip_and_invalidate(tmp_path, raw_dir, monkeypatch):
              "--holdout_frac", "0.3"])
     assert os.path.getmtime(pkl) > t3
     assert os.path.exists(fp)
+
+    # 6) raw mode's aux CSV is part of the cache contract: a hit must
+    # vouch for EVERY p0 output, so a deleted CSV recomputes (and the
+    # recompute restores it) even though pickles + fingerprint match
+    aux = "Data/next_hour_abnormal_norm_val.csv"
+    assert os.path.exists(aux)
+    os.remove(aux)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3"])
+    assert os.path.exists(aux)
