@@ -147,7 +147,7 @@ def main():
         t0 = time.time()
         tr3.train_one_epoch(ds3["training"], denoise=False)
         t1 = time.time()
-        delta, valid_prev, _ = tr3.generate_pred_cluster(
+        delta, _, valid_prev, _ = tr3.generate_pred_cluster(
             "valid", ds3["validation"], valid_prev
         )
         t2 = time.time()

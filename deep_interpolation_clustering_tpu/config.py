@@ -74,6 +74,25 @@ class Config:
     dec_alpha: float = 1.0
     init_cluster_center: str = "kmeans"  # kmeans | random | none
     stopping_delta: Optional[float] = 1e-4
+    # DEC stopping rule (checked every update_interval-th epoch):
+    #   "delta"    — the reference's criterion: stop when the FRACTION of
+    #                changed validation labels < stopping_delta
+    #                (clustering_trainer.py:118-124). Scale caveat: at 100k
+    #                (15k validation rows) delta < 1e-4 means "at most ONE
+    #                changed label" — measured to never fire over 400
+    #                epochs (PARITY.md r4 negative result), so large runs
+    #                are max_epochs-capped.
+    #   "count"    — stop when the NUMBER of changed validation labels
+    #                <= stopping_count: the scale-invariant meaning of the
+    #                reference's intent (its 1e-4 at its ~2.4k-row cohorts
+    #                ≈ "0 labels changed").
+    #   "patience" — stop when the running delta minimum hasn't improved
+    #                for stopping_patience consecutive checks: converges on
+    #                any n where delta plateaus without reaching the
+    #                absolute threshold.
+    stopping_mode: str = "delta"
+    stopping_count: int = 0
+    stopping_patience: int = 20
     update_interval: int = 1
     kmeans_n_init: int = 20
     # "device": on-device jitted k-means (production). "sklearn": host-side
@@ -185,6 +204,17 @@ class Config:
     # transcendental approximations), so leave this off on the strict
     # parity path.
     use_pallas: bool = False
+    # compute SCI's ob-independent weight tensors once per step for streams
+    # that share (mask, ts) — the fake stream at the production default
+    # aug_input=False — instead of once per stream
+    # (ops/interpolation.sci_forward_multi). Bit-identical by algebra: the
+    # logit/softmax grid chain depends only on timestamps + padding mask
+    # (reference interpolation_layer.py:59-83), so no parity flag is needed.
+    # The gate is structural (Python object identity on the ts/mask leaves
+    # at trace time, models/net._sci_streams) and falls back to per-stream
+    # SCI whenever sharing can't be proven (augmented ts, external callers).
+    # XLA-path only; the Pallas SCI variants keep their per-stream kernels.
+    sci_share_weights: bool = True
     # keep the UNCHANGED XLA forward for SCI (the 1e-5 parity surface) but
     # run its BACKWARD as a fused Pallas kernel that recomputes the softmax
     # chains in VMEM instead of letting XLA materialize the (B,C,T,R)
@@ -263,6 +293,20 @@ class Config:
     # ignores this knob, always f32). Set "default" for peak throughput
     # when parity doesn't matter.
     matmul_precision: str = "high"
+    # matmul precision for EVAL/DUMP forwards (train=False) — the parity
+    # surfaces users actually consume (latent dumps, DEC delta eval, valid
+    # losses). Default "highest" (full f32): eval is a tiny share of wall
+    # (one fused eval per boundary, dumps once per run; measured eval-epoch
+    # delta in PARITY.md r5) and it puts the on-chip latent at ~5.1e-5 vs
+    # torch instead of "high"'s ~1.1e-4 — train throughput is untouched
+    # because the train step never sees this knob (models/net.forward
+    # branches on `train`). On TPU this shifts valid losses ~1e-4-scale vs
+    # a "high" eval, so checkpoint metric selection and the DEC delta
+    # trajectory can differ from a pre-r5 run (document, not a contract:
+    # both knobs are no-ops on the f32 CPU backend where the bit-identity
+    # suites run). Set equal to matmul_precision to restore the old
+    # one-knob behavior.
+    eval_matmul_precision: str = "highest"
     # PRNG implementation for the trainer's root key (every draw in a run
     # — augmentation noise, fake-select bits, dropout, param init —
     # descends from it and inherits the impl). "threefry2x32" (JAX default)
@@ -309,8 +353,10 @@ class Config:
     #   "peak"   — "tuned" plus matmul "default" (plain bf16 matmuls):
     #              fastest measured; FAILS the vs-torch gate (~3.5e-2 at
     #              T=354) — benchmarking/exploration only.
-    # The preset STOMPS epoch_scan_unroll / prng_impl / matmul_precision
-    # (a conflicting explicit flag loses; the application is logged).
+    # The preset STOMPS epoch_scan_unroll / prng_impl / matmul_precision /
+    # eval_matmul_precision (parity+tuned pin eval at "highest"; peak pins
+    # "default") — a conflicting explicit flag loses; the application is
+    # logged.
     perf_profile: str = ""
 
     # ------------------------------------------------------------------
@@ -348,8 +394,10 @@ class Config:
         "optimizer": ("adam", "sgd", "rmsprop"),
         "lr_decay_mode": ("step", "plateau", "warmup"),
         "matmul_precision": ("highest", "high", "default"),
+        "eval_matmul_precision": ("highest", "high", "default"),
         "prng_impl": ("threefry2x32", "rbg"),
         "rng_draw_bits": (32, 16),
+        "stopping_mode": ("delta", "count", "patience"),
         "kmeans_impl": ("device", "sklearn"),
         "feat_dump": ("full", "lean"),
         "dbscan_impl": ("device", "sklearn"),
@@ -361,16 +409,19 @@ class Config:
             "epoch_scan_unroll": 1,
             "prng_impl": "threefry2x32",
             "matmul_precision": "high",
+            "eval_matmul_precision": "highest",
         },
         "tuned": {
             "epoch_scan_unroll": 4,
             "prng_impl": "rbg",
             "matmul_precision": "high",
+            "eval_matmul_precision": "highest",
         },
         "peak": {
             "epoch_scan_unroll": 4,
             "prng_impl": "rbg",
             "matmul_precision": "default",
+            "eval_matmul_precision": "default",
         },
     }
     # contract trade-off lines printed when a profile is applied

@@ -31,6 +31,8 @@ from ..ops.interpolation import (
     cci_forward,
     cci_identity_kernel,
     sci_forward,
+    sci_forward_multi,
+    to_planes,
 )
 from ..ops.lstm import bilstm_forward, lstm_init
 from ..ops.rbf import rbf_init, rbf_push
@@ -97,6 +99,48 @@ def _sci(params: Dict, cfg: Config, x: Array) -> Array:
     )
 
 
+def _sci_streams(params: Dict, cfg: Config, streams) -> list:
+    """SCI over every stream, computing the ob-independent weight tensors
+    ONCE for streams that share (mask, ts) (`sci_forward_multi`).
+
+    Sharing is proven by Python object identity on the mask/ts leaves at
+    trace time — `build_inputs` reuses the same arrays for the real and
+    fake streams whenever augmentation is off (steps.py: `fake_ts =
+    ts_raw`), so the dedup is structural, adds no data-dependent control
+    flow under jit, and falls back to per-stream SCI whenever identity
+    can't be shown (augmented ts, stacked external inputs, Pallas paths).
+    Bit-identical either way; measured A/B in PARITY.md r5.
+    """
+    use_multi = (
+        cfg.sci_share_weights and not cfg.use_pallas and not cfg.use_pallas_bwd
+    )
+    planes = [to_planes(s, cfg.num_variables) for s in streams]
+    groups: list = []  # indices into `streams`, grouped by shared (mask, ts)
+    for i, p in enumerate(planes):
+        if use_multi:
+            for g in groups:
+                q = planes[g[0]]
+                if p.mask is q.mask and p.ts is q.ts:
+                    g.append(i)
+                    break
+            else:
+                groups.append([i])
+        else:
+            groups.append([i])
+    reps: list = [None] * len(streams)
+    for g in groups:
+        if len(g) == 1:
+            reps[g[0]] = _sci(params, cfg, planes[g[0]])
+        else:
+            outs = sci_forward_multi(
+                params["sci"]["kernel"], [planes[i] for i in g],
+                cfg.ref_points, cfg.hours_from_admission,
+            )
+            for i, r in zip(g, outs):
+                reps[i] = r
+    return reps
+
+
 def _encode_rep(
     params: Dict, cfg: Config, rep: Array
 ) -> Tuple[Array, Array, Array, Array]:
@@ -131,15 +175,19 @@ def forward(
     """Full forward pass (reference pretrain_interp.py:130-167,
     clustering_interp.py:134-189).
 
-    Runs under `cfg.matmul_precision`: plain TPU f32 matmuls take bf16
-    inputs, which costs ~3e-2 of parity vs the CPU/torch baseline at
-    T=354; the "high" (bf16_3x) default holds the same machine-checked
-    on-chip agreement as full-f32 "highest" (see config.py) — the 1e-5
-    contract itself is checked on the f32 CPU backend.
+    Train steps run under `cfg.matmul_precision` ("high" = bf16_3x, the
+    measured throughput/parity sweet spot); eval/dump forwards run under
+    `cfg.eval_matmul_precision` ("highest" = full f32) — eval is a tiny
+    share of wall (one fused epoch per eval boundary; dumps once per run)
+    and "highest" puts every user-facing latent and the machine-checked
+    on-chip parity surface at ~5.1e-5 vs torch instead of ~1.1e-4
+    (PARITY.md r4 ledger; the 1e-5 contract itself is checked on the f32
+    CPU backend, where both knobs are no-ops).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    with jax.default_matmul_precision(cfg.matmul_precision):
+    prec = cfg.matmul_precision if train else cfg.eval_matmul_precision
+    with jax.default_matmul_precision(prec):
         return _forward_impl(
             params, state, cfg, x, fake_x, fake_perm_idx, positive_x,
             train, key, sample_mask,
@@ -183,7 +231,7 @@ def _forward_impl(
         # every SCI op is per-sample so the results are bit-identical
         enc_out_all, hidden_all, cell_all, cat_all = _encode_rep(
             params, cfg,
-            jnp.concatenate([_sci(params, cfg, s) for s in streams], axis=0),
+            jnp.concatenate(_sci_streams(params, cfg, streams), axis=0),
         )
         enc_out = enc_out_all[:, :b]
         hidden = hidden_all[:, :b]

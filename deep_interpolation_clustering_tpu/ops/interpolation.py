@@ -120,6 +120,58 @@ def sci_forward(
     return jnp.transpose(rep, (0, 2, 1))  # (B, R, 3C)
 
 
+def sci_forward_multi(
+    kernel: Array,
+    xs,
+    ref_points: int,
+    hours_look_ahead: float,
+):
+    """SCI over several streams that share (mask, ts): the ob-independent
+    weight tensors are computed ONCE and each stream contributes only its
+    two `(B, C, T, R) -> (B, C, R)` weighted sums.
+
+    SCI's logit/softmax chain depends only on timestamps and padding mask
+    (reference interpolation_layer.py:59-83) — the observation plane enters
+    the math exclusively through the weighted sums — so for streams sharing
+    (mask, ts) (the fake stream at the production default `aug_input=False`,
+    steps.py: `fake_ts = ts_raw`, same `padding_mask`) the per-stream
+    recompute of the transcendental-heavy grid chain is pure waste.
+
+    Bit-identical to per-stream `sci_forward` by construction: the shared
+    tensors are produced by the same op sequence, and each stream's
+    `exp(logits - w) * ob -> sum_T` is the same ops in the same order.
+    Guarded by tests/test_sci_multi.py.
+
+    The caller is responsible for proving the (mask, ts) sharing — this
+    function unconditionally takes them from the first stream.
+    """
+    d_dim = kernel.shape[0]
+    planes = [to_planes(x, d_dim) for x in xs]
+    mask, t_obs = planes[0].mask, planes[0].ts
+    ref_t = reference_times(ref_points, hours_look_ahead, planes[0].ob.dtype)
+
+    diff = t_obs[..., None] - ref_t
+    norm = diff * diff
+    alpha = softplus_refined(kernel)
+
+    log_mask = jnp.log(mask)
+    logits = -alpha[None, :, None, None] * norm + log_mask[..., None]
+    w = logsumexp_refined(logits, axis=2)  # (B, C, R)
+    wt = jnp.exp(logits - w[:, :, None, :])
+
+    logits_t = TRANSIENT_KAPPA * (-alpha[None, :, None, None] * norm) + log_mask[..., None]
+    w_t = logsumexp_refined(logits_t, axis=2)
+    wt_t = jnp.exp(logits_t - w_t[:, :, None, :])
+
+    reps = []
+    for p in planes:
+        y = jnp.sum(wt * p.ob[..., None], axis=2)
+        y_trans = jnp.sum(wt_t * p.ob[..., None], axis=2)
+        rep = jnp.concatenate([y, w, y_trans], axis=1)  # (B, 3C, R)
+        reps.append(jnp.transpose(rep, (0, 2, 1)))  # (B, R, 3C)
+    return reps
+
+
 def cci_forward(kernel: Array, rep: Array) -> Array:
     """CrossChannelInterp: `(B, R, 3C)` -> `(B, R, 3C)`.
 

@@ -28,6 +28,7 @@ from ..config import Config
 from ..data.loader import ArrayDataset
 from ..utils import logger, timer
 from . import checkpoint as ckpt
+from .optim import set_learning_rate
 from .trainer import Trainer, _fmt
 
 
@@ -134,54 +135,175 @@ class ClusterTrainer(Trainer):
 
     # ------------------------------------------------- phase 2: epochs
     def generate_pred_cluster(
-        self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray], denoise=False
-    ) -> Tuple[float, np.ndarray, Dict[str, float]]:
+        self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray],
+        denoise=False, defer_losses: bool = False,
+    ) -> Tuple[float, Optional[int], np.ndarray, Dict[str, float]]:
         """Per-epoch cluster re-prediction + label-change delta (reference
-        clustering_trainer.py:118-124). The soft assignments stay on device
-        when the fused eval allows it: argmax + the changed-label count run
-        there and only the delta scalar syncs to host, so the per-epoch
+        clustering_trainer.py:118-124). Returns `(delta, n_changed,
+        cluster_pred, metrics)`. The soft assignments stay on device when
+        the fused eval allows it: argmax + the changed-label count run
+        there and only the count scalar syncs to host, so the per-epoch
         delta eval costs one scalar D2H instead of an (n, K) dump fetch
-        (first-max tie-breaking is identical in np and jnp argmax)."""
+        (first-max tie-breaking is identical in np and jnp argmax).
+        `defer_losses=True` (deferred cadence) additionally leaves the
+        eval losses on device — `metrics` is then the device per-batch
+        loss dict (see Trainer.eval_one_epoch)."""
         metrics, dumps = self.eval_one_epoch(
-            scope, ds, denoise, dump_keys=("cluster_pred",), device_dumps=True
+            scope, ds, denoise, dump_keys=("cluster_pred",),
+            device_dumps=True, defer_losses=defer_losses,
         )
         pred = _cat_dump(dumps["cluster_pred"])
         xp = jnp if isinstance(pred, jax.Array) else np
         cluster_pred = xp.argmax(pred, axis=1)
         if prev_pred is None:
-            delta = 1.0
+            delta, n_changed = 1.0, None
         else:
-            delta = float(
-                xp.sum(cluster_pred != xp.asarray(prev_pred))
-            ) / int(prev_pred.shape[0])
-        return delta, cluster_pred, metrics
+            n_changed = int(xp.sum(cluster_pred != xp.asarray(prev_pred)))
+            delta = n_changed / int(prev_pred.shape[0])
+        return delta, n_changed, cluster_pred, metrics
+
+    def _should_stop(self, delta: float, n_changed: Optional[int]) -> Optional[str]:
+        """Evaluate cfg.stopping_mode; returns the stop reason or None.
+
+        "delta" is the reference's fraction criterion
+        (clustering_trainer.py:118-124); "count"/"patience" are the
+        usable-at-scale opt-ins (see Config.stopping_mode — at 100k the
+        reference criterion provably never fires, PARITY.md r4)."""
+        cfg = self.cfg
+        if cfg.stopping_mode == "delta":
+            if cfg.stopping_delta is not None and delta < cfg.stopping_delta:
+                return (
+                    f'label delta "{delta:1.5f}" < "{cfg.stopping_delta:1.5f}"'
+                )
+        elif cfg.stopping_mode == "count":
+            if n_changed is not None and n_changed <= cfg.stopping_count:
+                return (
+                    f"changed-label count {n_changed} <= {cfg.stopping_count}"
+                )
+        else:  # patience on the running delta minimum
+            if delta < self._best_delta:
+                self._best_delta = delta
+                self._since_improve = 0
+            else:
+                self._since_improve += 1
+                if self._since_improve >= cfg.stopping_patience:
+                    return (
+                        f'delta minimum "{self._best_delta:1.5f}" unimproved '
+                        f"for {self._since_improve} checks"
+                    )
+        return None
 
     def train(self) -> Dict[str, float]:
+        """The DEC epoch loop. `eval_interval=1` (default) is the
+        reference's cadence: train, delta eval, aly_pred (checkpoints +
+        valid metrics) every epoch. `eval_interval>1` (opt-in, single-
+        process fused path) keeps the PER-EPOCH on-device delta eval —
+        stopping rides it — but defers every other host round trip to the
+        boundary: intermediate epochs dispatch the fused train epoch
+        async, fetch ONE changed-label scalar, and queue the train/valid
+        loss handles; checkpointing and plateau-LR stepping happen at
+        boundaries only (the pretrain trainer's documented eval_interval
+        semantics). Delta trajectory is bit-identical across cadences
+        (tests/test_dec_stopping.py)."""
         cfg = self.cfg
+        train_ds = self.datasets["training"]
+        valid_ds = self.datasets["validation"]
         valid_prev = self.init_centers()
         last_valid: Dict[str, float] = {}
+        self._best_delta = float("inf")
+        self._since_improve = 0
+        self.delta_history: list = []
+        # deferred epochs: (epoch, train handles, n_batches, valid loss
+        # handles, delta) — drained at each eval boundary
+        pending: list = []
+
+        def drain():
+            nonlocal last_valid
+            for e, handles, nb, vh, delta in pending:
+                logger.info(
+                    "==> Epoch %d train %s",
+                    e, _fmt(self._finalize_fused_epoch(e, handles, nb)),
+                )
+                if vh is not None:
+                    vm = {
+                        k: float(np.mean(v))
+                        for k, v in jax.device_get(vh).items()
+                    }
+                    vm["delta"] = delta
+                    self.summary.add_summary(e, scope="valid", **vm)
+                    logger.info("Epoch %d valid %s", e, _fmt(vm))
+                    last_valid = vm
+            pending.clear()
+
         with timer("Duration of training"):
             while self.epoch < cfg.max_epochs:
-                train_metrics = self.train_one_epoch(
-                    self.datasets["training"], denoise=cfg.denoise
+                is_eval = (
+                    cfg.eval_interval <= 1
+                    or self.epoch % cfg.eval_interval == 0
+                    or self.epoch + 1 >= cfg.max_epochs
                 )
-                logger.info("==> Epoch %d train %s", self.epoch, _fmt(train_metrics))
+                defer = (
+                    cfg.eval_interval > 1
+                    and self._can_fuse(train_ds)
+                    and jax.process_count() == 1
+                )
+                if defer:
+                    n_batches = train_ds.num_batches(cfg.batch_size)
+                    handles = self._dispatch_fused_epoch(
+                        train_ds, cfg.denoise, self._epoch_key(self.epoch),
+                        np.random.RandomState(cfg.seed + self.epoch),
+                    )
+                else:
+                    train_metrics = self.train_one_epoch(
+                        train_ds, denoise=cfg.denoise
+                    )
+                    logger.info(
+                        "==> Epoch %d train %s", self.epoch, _fmt(train_metrics)
+                    )
 
-                delta, valid_pred, valid_metrics = self.generate_pred_cluster(
-                    "valid", self.datasets["validation"], valid_prev
-                )
-                logger.info("Epoch %d: valid delta of label change: %s", self.epoch, delta)
-                valid_metrics["delta"] = delta
-                last_valid = valid_metrics
-                self.aly_pred("valid", valid_metrics)
+                if is_eval:
+                    if defer:
+                        pending.append(
+                            (self.epoch, handles, n_batches, None, None)
+                        )
+                    drain()
+                    delta, n_changed, valid_pred, valid_metrics = (
+                        self.generate_pred_cluster("valid", valid_ds, valid_prev)
+                    )
+                    logger.info(
+                        "Epoch %d: valid delta of label change: %s",
+                        self.epoch, delta,
+                    )
+                    valid_metrics["delta"] = delta
+                    last_valid = valid_metrics
+                    self.aly_pred("valid", valid_metrics)
+                else:
+                    delta, n_changed, valid_pred, vh = self.generate_pred_cluster(
+                        "valid", valid_ds, valid_prev, defer_losses=True
+                    )
+                    if defer:
+                        pending.append(
+                            (self.epoch, handles, n_batches, vh, delta)
+                        )
+                    logger.info(
+                        "Epoch %d: valid delta of label change: %s",
+                        self.epoch, delta,
+                    )
+                    # epoch-indexed LR schedules advance every epoch even
+                    # without an eval; plateau steps at evals only (it
+                    # needs the valid loss) — Config.eval_interval
+                    if cfg.lr_decay_mode != "plateau":
+                        self.lr_schedule.step(None)
+                        set_learning_rate(self.opt_state, self.lr_schedule.lr)
+                self.delta_history.append(delta)
 
                 if self.epoch % cfg.update_interval == 0:
-                    if cfg.stopping_delta is not None and delta < cfg.stopping_delta:
-                        logger.info(
-                            'Early stopping as label delta "%1.5f" < "%1.5f".',
-                            delta, cfg.stopping_delta,
-                        )
+                    stop_msg = self._should_stop(delta, n_changed)
+                    if stop_msg:
+                        drain()
+                        logger.info("Early stopping as %s.", stop_msg)
                         break
                     valid_prev = valid_pred
                 self.epoch += 1
+            drain()  # defensive: every eval boundary already drained
         return last_valid

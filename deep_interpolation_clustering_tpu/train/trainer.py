@@ -513,7 +513,7 @@ class Trainer:
     # -------------------------------------------------------------- eval
     def eval_one_epoch(
         self, scope: str, ds: ArrayDataset, denoise: bool, dump_keys=None,
-        device_dumps: bool = False,
+        device_dumps: bool = False, defer_losses: bool = False,
     ):
         """No-grad mirror of the train epoch; collects per-sample dumps
         (reference pretrain_trainer.py:243-366). Batches are shape-padded to
@@ -525,7 +525,12 @@ class Trainer:
         itself on-device (DEC center init / delta eval). Honored on the
         single-process fused path only — multi-host keeps the allgather
         fetch, the per-batch path keeps host stacking — so callers must
-        accept either np or jax arrays."""
+        accept either np or jax arrays. `defer_losses=True` (requires
+        device_dumps, same single-process fused gate) additionally skips
+        the loss fetch: the metrics slot returns the DEVICE per-batch loss
+        dict for the caller to `jax.device_get` later — the DEC loop's
+        deferred cadence fetches one delta scalar per epoch and drains
+        these at its eval boundary."""
         cfg = self.cfg
         salt = int.from_bytes(scope.encode()[:4].ljust(4, b"\0"), "little")
         epoch_key = self._epoch_key(self.epoch, salt=salt)
@@ -535,7 +540,8 @@ class Trainer:
 
         if cfg.device_data and cfg.fused_epoch:
             return self._eval_one_epoch_fused(
-                scope, ds, denoise, epoch_key, dump_keys, device_dumps
+                scope, ds, denoise, epoch_key, dump_keys, device_dumps,
+                defer_losses,
             )
 
         step_fn = self._eval_step(denoise, dump_keys)
@@ -600,7 +606,8 @@ class Trainer:
         return metrics, dumps
 
     def _eval_one_epoch_fused(self, scope, ds, denoise, epoch_key, dump_keys,
-                              device_dumps: bool = False):
+                              device_dumps: bool = False,
+                              defer_losses: bool = False):
         """Fused eval: one scan over padded index rows; outputs stack on
         device, so the whole cohort's dumps arrive in one bulk fetch — or,
         with `device_dumps`, never leave the device at all (the fetch is the
@@ -632,12 +639,18 @@ class Trainer:
                 epoch_key,
             )
         if device_dumps and jax.process_count() == 1:
-            losses = jax.device_get(losses)
+            if defer_losses:
+                # nothing syncs this epoch: the caller holds the device
+                # per-batch loss handles and fetches them at its boundary
+                metrics = losses
+            else:
+                losses = jax.device_get(losses)
         else:
             losses, outputs = device_fetch((losses, outputs))
 
-        metrics = {k: float(np.mean(v)) for k, v in losses.items()}
-        logger.info("%d: %s-%s", self.epoch, scope, _fmt(metrics))
+        if not (defer_losses and device_dumps and jax.process_count() == 1):
+            metrics = {k: float(np.mean(v)) for k, v in losses.items()}
+            logger.info("%d: %s-%s", self.epoch, scope, _fmt(metrics))
         dumps: Dict[str, list] = defaultdict(list)
         for k, v in outputs.items():
             # only the final batch is padded, at its end: flattening the

@@ -432,6 +432,9 @@ def test_config_perf_profiles(tmp_path, caplog, monkeypatch):
     c = Config(perf_profile="peak")
     assert (c.epoch_scan_unroll, c.prng_impl, c.matmul_precision) == (
         4, "rbg", "default")
+    assert c.eval_matmul_precision == "default"  # peak stomps eval too
+    assert Config(perf_profile="parity").eval_matmul_precision == "highest"
+    assert Config(perf_profile="tuned").eval_matmul_precision == "highest"
     with pytest.raises(ValueError, match="perf_profile"):
         Config(perf_profile="fastest")
     # a conflicting explicit knob loses to the profile, with a warning

@@ -1,0 +1,124 @@
+"""DEC stopping rules (Config.stopping_mode) + the deferred eval_interval
+cadence of the ClusterTrainer loop.
+
+The reference's only criterion — label-change FRACTION < stopping_delta
+(clustering_trainer.py:118-124) — provably cannot fire at 100k scale
+(PARITY.md r4 negative result), so "count" and "patience" are the
+usable-at-scale opt-ins; "delta" stays the default."""
+
+import numpy as np
+import pytest
+
+from deep_interpolation_clustering_tpu import Config
+from deep_interpolation_clustering_tpu.data import (
+    ArrayDataset,
+    make_synthetic_cohorts,
+    process_splits,
+)
+from deep_interpolation_clustering_tpu.train import ClusterTrainer
+
+
+def dec_cfg(**kw):
+    base = dict(
+        batch_size=16, num_timestamps=24, max_epochs=4,
+        loss="ae_mse_sup_fake_detect_kl", cluster_number=3,
+        init_cluster_center="none", kmeans_n_init=3,
+        log_train_freq=1000, log_valid_freq=1000,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def cohorts():
+    raw = make_synthetic_cohorts(n_total=120, max_obs=24, seed=11)
+    return process_splits(raw, rng=np.random.RandomState(0))
+
+
+def make_trainer(tmp_path, cohorts, name, **kw):
+    cfg = dec_cfg(**kw)
+    ds = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
+    return ClusterTrainer(cfg, ds, str(tmp_path / name), use_tensorboard=False)
+
+
+# ---------------------------------------------------------------- unit
+def _bare(cfg):
+    """A ClusterTrainer shell with only the state _should_stop reads."""
+    tr = ClusterTrainer.__new__(ClusterTrainer)
+    tr.cfg = cfg
+    tr._best_delta = float("inf")
+    tr._since_improve = 0
+    return tr
+
+
+def test_should_stop_delta_mode():
+    tr = _bare(dec_cfg(stopping_mode="delta", stopping_delta=1e-4))
+    assert tr._should_stop(1.0, None) is None
+    assert tr._should_stop(2e-4, 3) is None
+    assert "label delta" in tr._should_stop(5e-5, 1)
+    # the reference honors stopping_delta=None as "never stop"
+    assert _bare(dec_cfg(stopping_delta=None))._should_stop(0.0, 0) is None
+
+
+def test_should_stop_count_mode():
+    tr = _bare(dec_cfg(stopping_mode="count", stopping_count=2))
+    assert tr._should_stop(1.0, None) is None  # first epoch: no prev labels
+    assert tr._should_stop(0.5, 8) is None
+    assert "changed-label count 2" in tr._should_stop(0.1, 2)
+    assert "changed-label count 0" in tr._should_stop(0.0, 0)
+
+
+def test_should_stop_patience_mode():
+    tr = _bare(dec_cfg(stopping_mode="patience", stopping_patience=2))
+    assert tr._should_stop(1.0, None) is None  # best = 1.0
+    assert tr._should_stop(0.5, 5) is None  # improved, best = 0.5
+    assert tr._should_stop(0.6, 6) is None  # 1 unimproved check
+    msg = tr._should_stop(0.55, 4)  # 2 unimproved -> stop
+    assert msg is not None and "unimproved for 2" in msg
+    # improvement resets the counter
+    tr2 = _bare(dec_cfg(stopping_mode="patience", stopping_patience=2))
+    for d in (1.0, 0.5, 0.6, 0.4, 0.41):
+        assert tr2._should_stop(d, 1) is None
+    assert tr2._should_stop(0.42, 1) is not None
+
+
+# ---------------------------------------------------------- integration
+@pytest.mark.slow
+def test_count_mode_run_stops(tmp_path, cohorts):
+    """count mode with a permissive N must stop at the FIRST epoch that has
+    previous labels to compare (epoch 1); a negative N never fires."""
+    tr = make_trainer(tmp_path, cohorts, "count",
+                      stopping_mode="count", stopping_count=10**9)
+    tr.train()
+    tr.close()
+    # trainer epochs start at 1; epoch 1 has no prev labels, epoch 2 stops
+    # (before incrementing, like the reference)
+    assert tr.epoch == 2
+    assert len(tr.delta_history) == 2
+
+    tr2 = make_trainer(tmp_path, cohorts, "nocount",
+                       stopping_mode="count", stopping_count=-1, max_epochs=3)
+    tr2.train()
+    tr2.close()
+    assert tr2.epoch == tr2.cfg.max_epochs
+    assert len(tr2.delta_history) == 2  # epochs 1..max_epochs-1
+
+
+@pytest.mark.slow
+def test_deferred_cadence_delta_bit_identical(tmp_path, cohorts):
+    """eval_interval>1 defers every non-delta host fetch — the per-epoch
+    delta trajectory must be bit-identical to the reference cadence."""
+    kw = dict(stopping_delta=None, max_epochs=5)
+    a = make_trainer(tmp_path, cohorts, "cad1", eval_interval=1, **kw)
+    a.train()
+    a.close()
+    b = make_trainer(tmp_path, cohorts, "cad3", eval_interval=3, **kw)
+    b.train()
+    b.close()
+    assert a.delta_history == b.delta_history
+    assert len(a.delta_history) == 4  # epochs 1..max_epochs-1
+    # boundary checkpoints still written under the deferred cadence
+    import os
+    assert os.path.exists(
+        tmp_path / "cad3" / "weight" / "delta" / "checkpoint.npz"
+    )

@@ -138,7 +138,7 @@ def test_dec_delta_matches_host_recompute(tmp_path, cohorts):
                         pretrain_exp_path=pre_path, use_tensorboard=False)
     valid_prev = tr.init_centers()
     ds = tr.datasets["validation"]
-    delta, pred, _ = tr.generate_pred_cluster("valid", ds, valid_prev)
+    delta, _, pred, _ = tr.generate_pred_cluster("valid", ds, valid_prev)
     # host recompute from the fetched dump (the pre-r4 path)
     _, dumps = tr.eval_one_epoch("valid", ds, False, dump_keys=("cluster_pred",))
     host_pred = np.argmax(np.concatenate(dumps["cluster_pred"]), axis=1)
