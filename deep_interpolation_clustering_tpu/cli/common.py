@@ -166,6 +166,84 @@ def p0_write_fp(cfg: Config, fp: str) -> None:
         f.write(fp)
 
 
+# ---- raw-slice intermediate cache (reference split_org/,
+# p0_data_process.py:172-185): the gridded per-cohort slices + aux joins
+# depend only on the sources and the admission window — NOT on
+# holdout_frac / norm_method / the hold-out RNG — so a preprocessing-knob
+# re-run restores them in seconds instead of re-gridding the raw data.
+def _p0_raw_dir(cfg: Config) -> str:
+    return os.path.join(cfg.base_path, "model_data", "split_org")
+
+
+def _p0_raw_fp_path(cfg: Config) -> str:
+    return os.path.join(_p0_raw_dir(cfg), "p0_raw.fp")
+
+
+def p0_raw_fingerprint(cfg: Config, source_items) -> str:
+    """Raw-stage content hash: sources + hours_from_admission only (the
+    synthetic caller appends its seed to `source_items` — the generator
+    draws from it; raw-file gridding is seed-free)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for item in source_items:
+        if isinstance(item, str) and os.path.isfile(item):
+            with open(item, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 22), b""):
+                    h.update(chunk)
+        else:
+            h.update(repr(item).encode())
+    h.update(repr(("raw-v1", cfg.hours_from_admission)).encode())
+    return h.hexdigest()
+
+
+def p0_raw_cache_valid(cfg: Config, fp: str, extra_outputs=()) -> bool:
+    """True iff every cohort raw-slice pickle (plus `extra_outputs` built
+    from the same raw stage, e.g. the abnormal-vital aux CSV) exists and
+    the sidecar matches `fp` (same invalidate-first discipline as the
+    processed cache)."""
+    d = _p0_raw_dir(cfg)
+    if not all(
+        os.path.exists(os.path.join(d, f"{c}.pickle")) for c in COHORTS
+    ):
+        return False
+    for path in extra_outputs:
+        if not os.path.exists(path):
+            return False
+    try:
+        with open(_p0_raw_fp_path(cfg)) as f:
+            return f.read().strip() == fp
+    except OSError:
+        return False
+
+
+def p0_load_raw(cfg: Config) -> Dict[str, Dict[str, np.ndarray]]:
+    d = _p0_raw_dir(cfg)
+    out = {}
+    for cohort in COHORTS:
+        with open(os.path.join(d, f"{cohort}.pickle"), "rb") as f:
+            out[cohort] = pickle.load(f)
+    return out
+
+
+def p0_save_raw(cfg: Config, splits, fp: str) -> None:
+    """Write the raw slices + sidecar. Invalidate-first: a crash between
+    pickle and fp writes leaves pickles-without-fp (recompute next run),
+    never fresh-fp-over-stale-pickles."""
+    d = _p0_raw_dir(cfg)
+    os.makedirs(d, exist_ok=True)
+    try:
+        os.remove(_p0_raw_fp_path(cfg))
+    except OSError:
+        pass
+    for cohort, data in splits.items():
+        with open(os.path.join(d, f"{cohort}.pickle"), "wb") as f:
+            pickle.dump(data, f)
+    with open(_p0_raw_fp_path(cfg), "w") as f:
+        f.write(fp)
+    logger.info("p0: cached raw slices in %s", d)
+
+
 def load_processed(cfg: Config) -> Dict[str, Dict[str, np.ndarray]]:
     d = processed_dir(cfg)
     out = {}

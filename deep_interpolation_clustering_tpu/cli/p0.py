@@ -31,6 +31,10 @@ from .common import (
     p0_cache_valid,
     p0_fingerprint,
     p0_invalidate,
+    p0_load_raw,
+    p0_raw_cache_valid,
+    p0_raw_fingerprint,
+    p0_save_raw,
     p0_write_fp,
     save_processed,
 )
@@ -90,7 +94,24 @@ def main(argv=None):
         return
     p0_invalidate(cfg)
 
-    if args.synthetic:
+    # intermediate raw-slice cache (reference split_org/, p0:172-185): the
+    # gridded slices + aux joins depend only on sources + hours, so a
+    # holdout_frac/norm_method/seed change re-runs from here in seconds
+    # instead of re-gridding (125 s at 100k / 293 s at 1M, measured)
+    raw_sources = list(sources) + ([("seed", cfg.seed)] if args.synthetic else [])
+    raw_fp = p0_raw_fingerprint(cfg, raw_sources)
+    splits = None
+    if not cfg.overwrite and p0_raw_cache_valid(cfg, raw_fp, extra_outputs):
+        logger.info(
+            "p0: split_org raw slices match the current sources — skipping "
+            "the gridding stage"
+        )
+        splits = p0_load_raw(cfg)
+
+    from_raw_cache = splits is not None
+    if from_raw_cache:
+        pass
+    elif args.synthetic:
         splits = make_synthetic_cohorts(
             n_total=args.synthetic,
             hours=cfg.hours_from_admission,
@@ -143,6 +164,8 @@ def main(argv=None):
                 splits[cohort][col] = (
                     enc_idx[col].reindex(ids).fillna(0).to_numpy(np.float32)
                 )
+    if not from_raw_cache:
+        p0_save_raw(cfg, splits, raw_fp)
     process_splits(splits, holdout_frac=cfg.holdout_frac, rng=rng,
                    norm_method=cfg.norm_method)
     save_processed(cfg, splits)

@@ -219,6 +219,27 @@ class KSelection:
                 return self._gap_summary(rows, names, csv_path, plot,
                                          write_csv=False)
         inertia = inertia_v1 if version == 1 else inertia_v2
+        # opt-in uniform subsample for scales where the exact O(n²)
+        # inertias are impractical (Config.gap_subsample — ~5e14 FLOPs per
+        # (k, draw) at 1M rows). Seeded, drawn ONCE for the whole sweep, so
+        # every k / reference draw sees the same rows; the fingerprint
+        # includes the subsample size, so cached tables never mix regimes.
+        if cfg.gap_subsample and data.shape[0] > cfg.gap_subsample:
+            logger.info(
+                "gap subsample: %d of %d rows (seeded uniform)",
+                cfg.gap_subsample, data.shape[0],
+            )
+            if on_device:
+                sel = jax.random.permutation(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), 3),
+                    data.shape[0],
+                )[: cfg.gap_subsample]
+                data = jnp.take(data, jnp.sort(sel), axis=0)
+            else:
+                sel = np.random.RandomState(seed).choice(
+                    data.shape[0], cfg.gap_subsample, replace=False
+                )
+                data = data[np.sort(sel)]
         # invalidate-first: a crash anywhere between here and the fp write
         # at the end leaves CSV-without-fp (recompute next run) rather than
         # new-CSV-with-stale-fp (silent reuse of the wrong table).
@@ -328,7 +349,8 @@ class KSelection:
         else:
             h.update(np.ascontiguousarray(data).tobytes())
         h.update(repr((data.shape, version, seed, tuple(names), self.cfg.k_max,
-                       self.cfg.n_init, self.cfg.gap_b)).encode())
+                       self.cfg.n_init, self.cfg.gap_b,
+                       self.cfg.gap_subsample)).encode())
         return h.hexdigest()
 
     def _reload_gap_csv(self, csv_path: str, fp: str) -> Optional[List[Dict]]:

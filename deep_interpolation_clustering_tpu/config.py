@@ -156,6 +156,19 @@ class Config:
     select_opt_k: Tuple[str, ...] = ("gap_sts", "elbow")
     n_init: int = 10
     gap_b: int = 10
+    # gap statistic at scale: the inertias are O(n²) pairwise sweeps by the
+    # reference's plain-Euclidean definition (p2_clustering_optK.py:334-351)
+    # — ~5e14 FLOPs per (k, draw) at 1M rows, impractical exactly. >0 runs
+    # the WHOLE gap sweep (reference draws, fits, inertias, internal
+    # metrics) on a seeded uniform subsample of this many rows, restoring
+    # the K-selection signal the 1M pipeline otherwise forfeits. Estimator
+    # bias: gap(k) compares log-inertias of the subsample against uniform
+    # references of the SAME size, so the Tibshirani statistic is
+    # consistent under uniform subsampling; the per-k inertia VALUES are
+    # the subsample's, not the cohort's (don't compare across different
+    # subsample sizes), and ref_s reflects the subsample's Monte-Carlo
+    # spread. 0 = exact full-cohort sweep (default).
+    gap_subsample: int = 0
     opt_eps: float = 1.9
     internal_metrics: Tuple[str, ...] = (
         "Sihouette",

@@ -332,3 +332,51 @@ def test_kselection_elbow_and_gap(tmp_path, rng):
     gap3 = sel_ow.gap_statistic(d["hidden"], version=1, plot=False)
     assert os.stat(gap3["csv"]).st_mtime_ns != mtime
     assert [r["k"] for r in gap3["rows"]] == ks
+
+
+def test_gap_subsample_approximates_full(tmp_path, rng):
+    """Config.gap_subsample runs the whole sweep on a seeded uniform
+    subsample (the 1M-scale opt-in — the exact inertias are O(n²) by the
+    reference's definition, p2:334-351): on a well-separated cohort the
+    subsampled gap curve must agree with the full sweep's K selection and
+    track its gap values; the fingerprint keeps the two regimes' cached
+    tables apart."""
+    import jax.numpy as jnp
+
+    d, _ = _fake_dump(rng, 600, 4)
+    cfg_full = Config(k_max=6, n_init=3, gap_b=3)
+    full = KSelection(cfg_full, str(tmp_path / "full")).gap_statistic(
+        d["hidden"], version=1, plot=False
+    )
+    cfg_sub = Config(k_max=6, n_init=3, gap_b=3, gap_subsample=200)
+    sel_sub = KSelection(cfg_sub, str(tmp_path / "sub"))
+    sub = sel_sub.gap_statistic(d["hidden"], version=1, plot=False)
+    # the Tibshirani selection (the actual rule) agrees; argmax on the
+    # near-flat post-K tail is a coin flip and carries no contract
+    assert sub["opt_k"] == full["opt_k"] == 4
+    for rf, rs in zip(full["rows"], sub["rows"]):
+        assert abs(rf["gap"] - rs["gap"]) < 0.25, (rf["k"], rf["gap"], rs["gap"])
+
+    # device-resident input takes the on-device subsample path (different
+    # but equally-valid Monte-Carlo stream — at gap_b=3 the Tibshirani
+    # tie-break between the flat K>=4 rows can land on either side, so the
+    # contract here is that the curve TRACKS the full sweep)
+    sub_dev = KSelection(cfg_sub, str(tmp_path / "subdev")).gap_statistic(
+        jnp.asarray(d["hidden"]), version=1, plot=False
+    )
+    for rf, rs in zip(full["rows"], sub_dev["rows"]):
+        assert abs(rf["gap"] - rs["gap"]) < 0.25, (rf["k"], rf["gap"], rs["gap"])
+
+    # subsample size participates in the reuse fingerprint: a different
+    # size recomputes instead of silently reusing the cached table
+    import os as _os
+
+    mtime = _os.stat(sub["csv"]).st_mtime_ns
+    again = sel_sub.gap_statistic(d["hidden"], version=1, plot=False)
+    assert _os.stat(again["csv"]).st_mtime_ns == mtime  # same size: reused
+    sel_other = KSelection(
+        Config(k_max=6, n_init=3, gap_b=3, gap_subsample=150),
+        str(tmp_path / "sub"),
+    )
+    changed = sel_other.gap_statistic(d["hidden"], version=1, plot=False)
+    assert _os.stat(changed["csv"]).st_mtime_ns != mtime

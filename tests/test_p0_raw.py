@@ -136,3 +136,72 @@ def test_p0_cache_skip_and_invalidate(tmp_path, raw_dir, monkeypatch):
     p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
              "--holdout_frac", "0.3"])
     assert os.path.exists(aux)
+
+
+def test_p0_raw_slice_cache(tmp_path, raw_dir, monkeypatch):
+    """The split_org raw-slice cache (reference p0_data_process.py:172-185):
+    a re-run that changes only hold-out/normalization knobs must skip the
+    gridding stage entirely, re-running the cheap tail from the cached
+    slices; source/hours changes re-grid."""
+    monkeypatch.chdir(tmp_path)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data"])
+    org = "Data/model_data/split_org/training.pickle"
+    pkl = "Data/model_data/split_processed/training.pickle"
+    assert os.path.exists(org)
+    t_org = os.path.getmtime(org)
+    t_pkl = os.path.getmtime(pkl)
+
+    # changed preprocessing knob: gridding SKIPPED (generate_data must not
+    # run), processed pickles recomputed from the cached slices
+    def boom(*a, **k):
+        raise AssertionError("generate_data ran despite a valid raw cache")
+
+    monkeypatch.setattr(p0, "generate_data", boom)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3"])
+    assert os.path.getmtime(org) == t_org  # raw slices untouched
+    assert os.path.getmtime(pkl) > t_pkl  # processed recomputed
+    tr = load_processed(config_from_args(
+        __import__("argparse").Namespace(config=None, base_path="Data")
+    ))["training"]
+    held = tr["padding_mask"].sum() - tr["drop_mask"].sum()
+    assert held > 0  # hold-out re-applied at the new fraction
+    monkeypatch.undo()
+
+    # changed raw bytes: re-grids (raw fingerprint mismatch)
+    with open(os.path.join(raw_dir, "encounter.csv"), "a") as f:
+        f.write("\n")
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.3"])
+    assert os.path.getmtime(org) > t_org
+
+    # a deleted aux CSV invalidates the raw cache too (it is a raw-stage
+    # artifact the skip would otherwise never restore)
+    os.remove("Data/next_hour_abnormal_norm_val.csv")
+    t_org2 = os.path.getmtime(org)
+    p0.main(["--raw_dir", raw_dir, "--base_path", "Data",
+             "--holdout_frac", "0.2"])
+    assert os.path.exists("Data/next_hour_abnormal_norm_val.csv")
+    assert os.path.getmtime(org) > t_org2
+
+
+def test_p0_raw_cache_synthetic_seed(tmp_path, monkeypatch):
+    """Synthetic mode: the raw cache keys on the generator params + seed —
+    same seed skips generation, a changed seed regenerates."""
+    monkeypatch.chdir(tmp_path)
+    args = ["--synthetic", "60", "--synthetic_max_obs", "12",
+            "--num_timestamps", "12", "--base_path", "Data"]
+    p0.main(args)
+    org = "Data/model_data/split_org/training.pickle"
+    t0 = os.path.getmtime(org)
+
+    def boom(*a, **k):
+        raise AssertionError("make_synthetic_cohorts ran despite raw cache")
+
+    monkeypatch.setattr(p0, "make_synthetic_cohorts", boom)
+    p0.main(args + ["--holdout_frac", "0.3"])
+    assert os.path.getmtime(org) == t0
+    monkeypatch.undo()
+
+    p0.main(args + ["--seed", "99"])
+    assert os.path.getmtime(org) > t0
