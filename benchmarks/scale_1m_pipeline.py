@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--dec_epochs", type=int, default=4)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--k_max", type=int, default=6)
+    # seeded-subsample gap statistic (Config.gap_subsample): the exact
+    # inertias are O(n²) and impractical at 700k train rows, but the
+    # subsampled estimator restores the K-selection signal the 1M pipeline
+    # previously forfeited. 0 = skip.
+    ap.add_argument("--gap_subsample", type=int, default=20_000)
+    ap.add_argument("--gap_b", type=int, default=3)
     ap.add_argument("--root", default="/tmp/scale_1m")
     args = ap.parse_args()
 
@@ -127,6 +133,22 @@ def main():
     print(json.dumps({"metric": "p2_elbow_seconds",
                       "value": round(time.time() - t0, 1),
                       "elbow_k": out["elbow_k"], "k_max": args.k_max}), flush=True)
+
+    # ---- p2: subsampled gap statistic on the device latents
+    if args.gap_subsample:
+        cfg_gap = Config(**base).replace(
+            gap_subsample=args.gap_subsample, gap_b=args.gap_b
+        )
+        t0 = time.time()
+        gap = KSelection(cfg_gap, os.path.join(args.root, "optk")).gap_statistic(
+            train_h, version=1, plot=False
+        )
+        print(json.dumps({
+            "metric": "p2_gap_subsample_seconds",
+            "value": round(time.time() - t0, 1),
+            "gap_subsample": args.gap_subsample, "gap_b": args.gap_b,
+            "opt_k": gap["opt_k"], "opt_k_argmax": gap["opt_k_argmax"],
+        }), flush=True)
     del train_h, valid_h, dumps, vdumps, warm
 
     # ---- p3: DEC center init (device path) + joint epochs + delta eval

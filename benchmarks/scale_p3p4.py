@@ -53,7 +53,28 @@ def main():
     ap.add_argument("--feat_dump", default="full", choices=("full", "lean"))
     ap.add_argument("--warmstart_epochs", type=int, default=1)
     ap.add_argument("--root", default="/tmp/scale_p3p4")
+    # ---- full-loop cadence A/B (Config.eval_interval in the DEC loop):
+    # run ClusterTrainer.train() end-to-end at eval_interval=1 (the
+    # reference cadence: per-epoch loss fetch + aly_pred) and at
+    # --loop_interval (deferred: one changed-label scalar per epoch), same
+    # epoch budget, and report wall/epoch + the delta trajectories (must
+    # be identical — the deferral moves fetches, not math). 0 = skip.
+    ap.add_argument("--loop_epochs", type=int, default=0)
+    ap.add_argument("--loop_interval", type=int, default=8)
+    # stopping rule for the loop runs (the manual timing loop keeps the
+    # reference delta rule): e.g. --stopping_mode patience actually STOPS
+    # at 100k where the reference's 1e-4 delta provably never fires
+    ap.add_argument("--stopping_mode", default="delta",
+                    choices=("delta", "count", "patience"))
+    ap.add_argument("--stopping_count", type=int, default=0)
+    ap.add_argument("--stopping_patience", type=int, default=20)
     args = ap.parse_args()
+
+    from deep_interpolation_clustering_tpu.cli.common import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache(Config())
 
     # synthetic p0, /tmp-cached across benchmark reruns (shared helper —
     # one copy of the cache format between scale_100k and this script)
@@ -134,6 +155,43 @@ def main():
         "epochs_run": len(deltas), "delta_trajectory": deltas,
         "stopping_delta": cfg3.stopping_delta,
     }))
+
+    # ---- full-loop cadence A/B + scaled stopping demonstration
+    if args.loop_epochs:
+        for interval in (1, args.loop_interval):
+            cfgL = Config(
+                max_epochs=args.loop_epochs,
+                loss="ae_mse_sup_fake_detect_kl",
+                eval_interval=interval,
+                stopping_mode=args.stopping_mode,
+                stopping_count=args.stopping_count,
+                stopping_patience=args.stopping_patience,
+                **base,
+            )
+            dsL = {c: ArrayDataset(cfgL, d, c) for c, d in cohorts.items()}
+            trL = ClusterTrainer(
+                cfgL, dsL, os.path.join(args.root, f"loop{interval}"),
+                pretrain_exp_path=p1_path, use_tensorboard=False,
+            )
+            t0 = time.time()
+            prev = trL.init_centers()
+            t_init = time.time() - t0
+            trL.init_centers = lambda _p=prev: _p  # train() skips the re-init
+            t0 = time.time()
+            trL.train()
+            wall = time.time() - t0
+            epochs_run = len(trL.delta_history)
+            print(json.dumps({
+                "metric": "p3_loop_wall_per_epoch_seconds",
+                "value": round(wall / max(epochs_run, 1), 3),
+                "eval_interval": interval,
+                "epochs_run": epochs_run,
+                "stopped_early": epochs_run < args.loop_epochs - 1,
+                "stopping_mode": args.stopping_mode,
+                "center_init_seconds": round(t_init, 1),
+                "delta_trajectory": [round(d, 5) for d in trL.delta_history],
+            }))
+            trL.close()
 
     # feature dumps for p4 (the p3 CLI writes these via eval(generate_feat))
     t0 = time.time()
