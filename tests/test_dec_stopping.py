@@ -122,3 +122,30 @@ def test_deferred_cadence_delta_bit_identical(tmp_path, cohorts):
     assert os.path.exists(
         tmp_path / "cad3" / "weight" / "delta" / "checkpoint.npz"
     )
+
+
+@pytest.mark.slow
+def test_deferred_cadence_on_mesh_matches_single(tmp_path, cohorts):
+    """The deferred DEC cadence under an 8-device data mesh (single
+    process, so the defer gate holds): its delta trajectory must match the
+    single-device deferred run at the established sharded-vs-single band
+    (global-batch reductions make the math mesh-invariant, not bit-equal —
+    BN moments and grads reduce in a different order)."""
+    from deep_interpolation_clustering_tpu.parallel import make_mesh
+
+    kw = dict(stopping_delta=None, max_epochs=4, eval_interval=3)
+    a = make_trainer(tmp_path, cohorts, "mesh1", **kw)
+    a.train()
+    a.close()
+
+    cfg = dec_cfg(**kw)
+    ds = {c: ArrayDataset(cfg, d, c) for c, d in cohorts.items()}
+    b = ClusterTrainer(cfg, ds, str(tmp_path / "mesh8"), mesh=make_mesh(8),
+                       use_tensorboard=False)
+    b.train()
+    b.close()
+    assert len(a.delta_history) == len(b.delta_history) == 3
+    for da, db in zip(a.delta_history, b.delta_history):
+        # delta is a changed-label fraction over 24 validation rows: allow
+        # one flipped borderline label per epoch for cross-mesh f32 drift
+        assert abs(da - db) <= 1 / 24 + 1e-9, (a.delta_history, b.delta_history)
