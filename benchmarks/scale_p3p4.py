@@ -158,11 +158,16 @@ def main():
 
     # ---- full-loop cadence A/B + scaled stopping demonstration
     if args.loop_epochs:
-        for interval in (1, args.loop_interval):
+        # pipeline_delta only changes the deferred cadence (lagged scalar
+        # fetch + rollback-on-stop) — A/B it at the deferred interval
+        for interval, piped in (
+            (1, True), (args.loop_interval, False), (args.loop_interval, True),
+        ):
             cfgL = Config(
                 max_epochs=args.loop_epochs,
                 loss="ae_mse_sup_fake_detect_kl",
                 eval_interval=interval,
+                pipeline_delta=piped,
                 stopping_mode=args.stopping_mode,
                 stopping_count=args.stopping_count,
                 stopping_patience=args.stopping_patience,
@@ -170,7 +175,8 @@ def main():
             )
             dsL = {c: ArrayDataset(cfgL, d, c) for c, d in cohorts.items()}
             trL = ClusterTrainer(
-                cfgL, dsL, os.path.join(args.root, f"loop{interval}"),
+                cfgL, dsL,
+                os.path.join(args.root, f"loop{interval}{'p' if piped else ''}"),
                 pretrain_exp_path=p1_path, use_tensorboard=False,
             )
             t0 = time.time()
@@ -185,6 +191,7 @@ def main():
                 "metric": "p3_loop_wall_per_epoch_seconds",
                 "value": round(wall / max(epochs_run, 1), 3),
                 "eval_interval": interval,
+                "pipeline_delta": piped,
                 "epochs_run": epochs_run,
                 "stopped_early": epochs_run < args.loop_epochs - 1,
                 "stopping_mode": args.stopping_mode,

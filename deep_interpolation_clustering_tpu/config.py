@@ -94,6 +94,16 @@ class Config:
     stopping_count: int = 0
     stopping_patience: int = 20
     update_interval: int = 1
+    # Deferred DEC cadence only (eval_interval>1, single-process fused):
+    # fetch epoch e's changed-label count AFTER dispatching epoch e+1's
+    # train, so the one mandatory per-epoch D2H sync overlaps device
+    # compute instead of serializing with it. Stop semantics are exact:
+    # the loop keeps the pre-dispatch param/opt handles and rolls back to
+    # them when the (lagged) criterion fires, so the stopping epoch, the
+    # delta trajectory AND the final weights are bit-identical to the
+    # unpipelined cadence (tests/test_dec_stopping.py) — the only cost is
+    # one discarded speculative epoch of device work per run.
+    pipeline_delta: bool = True
     kmeans_n_init: int = 20
     # "device": on-device jitted k-means (production). "sklearn": host-side
     # NumPy mirror of sklearn.KMeans's exact RNG path — bit-identical labels
@@ -147,8 +157,11 @@ class Config:
     # "plateau" steps once per EVAL with that boundary's valid loss
     # (patience then counts evals, the torch-ecosystem eval_interval
     # semantics — it cannot see losses of epochs it never validated).
-    # Pretrain Trainer only: the DEC ClusterTrainer keeps the reference's
-    # per-epoch delta-stopping loop (clustering_trainer.py:118-124).
+    # The DEC ClusterTrainer honors it too (r5): the per-epoch on-device
+    # delta eval stays (stopping rides it, clustering_trainer.py:118-124)
+    # but loss fetches / summaries / checkpoints defer to the boundary;
+    # delta trajectory bit-identical across cadences
+    # (tests/test_dec_stopping.py). See also pipeline_delta.
     eval_interval: int = 1
 
     # ---- K-selection (p2) ---------------------------------------------

@@ -32,6 +32,17 @@ from .optim import set_learning_rate
 from .trainer import Trainer, _fmt
 
 
+def _snapshot(tree):
+    """Device-side copy of a carry tree's array leaves. The fused train
+    step DONATES its (params, state, opt_state) inputs (steps.py), so a
+    retained rollback handle must not alias the dispatch inputs — the
+    donation would delete its buffers. ~8 MB async HBM copy at the
+    production model size: noise next to a train epoch."""
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if isinstance(x, jax.Array) else x, tree
+    )
+
+
 def _cat_dump(chunks):
     """Join eval dump chunks in batch (= dataset) order: the fused path
     yields one device or np array, the per-batch path a host list."""
@@ -134,20 +145,21 @@ class ClusterTrainer(Trainer):
         return valid_prev
 
     # ------------------------------------------------- phase 2: epochs
-    def generate_pred_cluster(
+    def _dispatch_pred_cluster(
         self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray],
         denoise=False, defer_losses: bool = False,
-    ) -> Tuple[float, Optional[int], np.ndarray, Dict[str, float]]:
-        """Per-epoch cluster re-prediction + label-change delta (reference
-        clustering_trainer.py:118-124). Returns `(delta, n_changed,
-        cluster_pred, metrics)`. The soft assignments stay on device when
-        the fused eval allows it: argmax + the changed-label count run
-        there and only the count scalar syncs to host, so the per-epoch
-        delta eval costs one scalar D2H instead of an (n, K) dump fetch
-        (first-max tie-breaking is identical in np and jnp argmax).
-        `defer_losses=True` (deferred cadence) additionally leaves the
-        eval losses on device — `metrics` is then the device per-batch
-        loss dict (see Trainer.eval_one_epoch)."""
+    ):
+        """Dispatch the per-epoch cluster re-prediction (reference
+        clustering_trainer.py:118-124) WITHOUT syncing the result. The
+        soft assignments stay on device when the fused eval allows it:
+        argmax + the changed-label count run there, so the eventual sync
+        is one scalar D2H instead of an (n, K) dump fetch (first-max
+        tie-breaking is identical in np and jnp argmax). Returns
+        `(count, cluster_pred, metrics)` where `count` is the un-fetched
+        changed-label count (None on the first epoch) — resolve it with
+        `_resolve_delta`. `defer_losses=True` (deferred cadence)
+        additionally leaves the eval losses on device — `metrics` is then
+        the device per-batch loss dict (see Trainer.eval_one_epoch)."""
         metrics, dumps = self.eval_one_epoch(
             scope, ds, denoise, dump_keys=("cluster_pred",),
             device_dumps=True, defer_losses=defer_losses,
@@ -155,11 +167,32 @@ class ClusterTrainer(Trainer):
         pred = _cat_dump(dumps["cluster_pred"])
         xp = jnp if isinstance(pred, jax.Array) else np
         cluster_pred = xp.argmax(pred, axis=1)
-        if prev_pred is None:
-            delta, n_changed = 1.0, None
-        else:
-            n_changed = int(xp.sum(cluster_pred != xp.asarray(prev_pred)))
-            delta = n_changed / int(prev_pred.shape[0])
+        count = None
+        if prev_pred is not None:
+            count = xp.sum(cluster_pred != xp.asarray(prev_pred))
+        return count, cluster_pred, metrics
+
+    @staticmethod
+    def _resolve_delta(count, n_rows: Optional[int]):
+        """Sync a dispatched changed-label count into `(delta, n_changed)`
+        — the one mandatory D2H of the DEC epoch loop."""
+        if count is None:
+            return 1.0, None
+        n_changed = int(count)
+        return n_changed / n_rows, n_changed
+
+    def generate_pred_cluster(
+        self, scope: str, ds: ArrayDataset, prev_pred: Optional[np.ndarray],
+        denoise=False, defer_losses: bool = False,
+    ) -> Tuple[float, Optional[int], np.ndarray, Dict[str, float]]:
+        """Dispatch + immediately resolve the label-change delta. Returns
+        `(delta, n_changed, cluster_pred, metrics)`."""
+        count, cluster_pred, metrics = self._dispatch_pred_cluster(
+            scope, ds, prev_pred, denoise, defer_losses
+        )
+        delta, n_changed = self._resolve_delta(
+            count, None if prev_pred is None else int(prev_pred.shape[0])
+        )
         return delta, n_changed, cluster_pred, metrics
 
     def _should_stop(self, delta: float, n_changed: Optional[int]) -> Optional[str]:
@@ -203,8 +236,14 @@ class ClusterTrainer(Trainer):
         async, fetch ONE changed-label scalar, and queue the train/valid
         loss handles; checkpointing and plateau-LR stepping happen at
         boundaries only (the pretrain trainer's documented eval_interval
-        semantics). Delta trajectory is bit-identical across cadences
-        (tests/test_dec_stopping.py)."""
+        semantics). With `pipeline_delta` (default ON) even that scalar
+        fetch is lagged one epoch: epoch e's count syncs AFTER epoch
+        e+1's dispatch, so the tunnel round trip overlaps device compute
+        instead of serializing with it; when the lagged criterion fires,
+        the loop restores the retained pre-dispatch param handles, making
+        the stopping epoch, the delta trajectory AND the final weights
+        bit-identical to the unpipelined cadence at the cost of one
+        discarded speculative epoch per run (tests/test_dec_stopping.py)."""
         cfg = self.cfg
         train_ds = self.datasets["training"]
         valid_ds = self.datasets["validation"]
@@ -216,6 +255,9 @@ class ClusterTrainer(Trainer):
         # deferred epochs: (epoch, train handles, n_batches, valid loss
         # handles, delta) — drained at each eval boundary
         pending: list = []
+        # pipeline_delta: the one epoch whose changed-label count is
+        # dispatched but not yet fetched
+        inflight: Optional[dict] = None
 
         def drain():
             nonlocal last_valid
@@ -235,6 +277,27 @@ class ClusterTrainer(Trainer):
                     last_valid = vm
             pending.clear()
 
+        def resolve_inflight():
+            """Fetch the lagged epoch's count; log, record and stop-check
+            it exactly as the unpipelined loop would have at that epoch.
+            Returns `(stop_msg, lagged_epoch)`."""
+            nonlocal inflight
+            rec = inflight
+            inflight = None
+            delta, n_changed = self._resolve_delta(rec["count"], rec["n_rows"])
+            pending.append(
+                (rec["epoch"], rec["handles"], rec["nb"], rec["vh"], delta)
+            )
+            logger.info(
+                "Epoch %d: valid delta of label change: %s",
+                rec["epoch"], delta,
+            )
+            self.delta_history.append(delta)
+            stop_msg = None
+            if rec["epoch"] % cfg.update_interval == 0:
+                stop_msg = self._should_stop(delta, n_changed)
+            return stop_msg, rec["epoch"]
+
         with timer("Duration of training"):
             while self.epoch < cfg.max_epochs:
                 is_eval = (
@@ -247,8 +310,23 @@ class ClusterTrainer(Trainer):
                     and self._can_fuse(train_ds)
                     and jax.process_count() == 1
                 )
+                # at a boundary nothing is about to hide the lagged fetch
+                # (the drain syncs anyway) — resolve it BEFORE dispatching,
+                # so a stop that fires cancels this epoch entirely
+                if inflight is not None and is_eval:
+                    stop_msg, stopped_epoch = resolve_inflight()
+                    if stop_msg:
+                        self.epoch = stopped_epoch
+                        drain()
+                        logger.info("Early stopping as %s.", stop_msg)
+                        break
                 if defer:
                     n_batches = train_ds.num_batches(cfg.batch_size)
+                    rollback = None
+                    if cfg.pipeline_delta and not is_eval:
+                        rollback = _snapshot(
+                            (self.params, self.state, self.opt_state)
+                        )
                     handles = self._dispatch_fused_epoch(
                         train_ds, cfg.denoise, self._epoch_key(self.epoch),
                         np.random.RandomState(cfg.seed + self.epoch),
@@ -277,6 +355,38 @@ class ClusterTrainer(Trainer):
                     valid_metrics["delta"] = delta
                     last_valid = valid_metrics
                     self.aly_pred("valid", valid_metrics)
+                elif defer and cfg.pipeline_delta:
+                    # dispatch this epoch's delta eval, then resolve LAST
+                    # epoch's scalar while the device crunches this one
+                    count, valid_pred, vh = self._dispatch_pred_cluster(
+                        "valid", valid_ds, valid_prev, defer_losses=True
+                    )
+                    rec = {
+                        "epoch": self.epoch, "count": count,
+                        "n_rows": None if valid_prev is None
+                        else int(valid_prev.shape[0]),
+                        "handles": handles, "nb": n_batches, "vh": vh,
+                    }
+                    if inflight is not None:
+                        stop_msg, stopped_epoch = resolve_inflight()
+                        if stop_msg:
+                            # cancel this epoch's speculative work: the
+                            # param trees are immutable, so the retained
+                            # pre-dispatch handles ARE the post-stopped-
+                            # epoch weights
+                            self.params, self.state, self.opt_state = rollback
+                            self.epoch = stopped_epoch
+                            drain()
+                            logger.info("Early stopping as %s.", stop_msg)
+                            break
+                    inflight = rec
+                    if self.epoch % cfg.update_interval == 0:
+                        valid_prev = valid_pred
+                    if cfg.lr_decay_mode != "plateau":
+                        self.lr_schedule.step(None)
+                        set_learning_rate(self.opt_state, self.lr_schedule.lr)
+                    self.epoch += 1
+                    continue
                 else:
                     delta, n_changed, valid_pred, vh = self.generate_pred_cluster(
                         "valid", valid_ds, valid_prev, defer_losses=True
@@ -305,5 +415,7 @@ class ClusterTrainer(Trainer):
                         break
                     valid_prev = valid_pred
                 self.epoch += 1
+            if inflight is not None:  # defensive: the last epoch is a boundary
+                resolve_inflight()
             drain()  # defensive: every eval boundary already drained
         return last_valid

@@ -104,10 +104,18 @@ def test_count_mode_run_stops(tmp_path, cohorts):
     assert len(tr2.delta_history) == 2  # epochs 1..max_epochs-1
 
 
+def _final_params(tr):
+    import jax
+
+    return jax.tree_util.tree_flatten(jax.device_get(tr.params))[0]
+
+
 @pytest.mark.slow
 def test_deferred_cadence_delta_bit_identical(tmp_path, cohorts):
-    """eval_interval>1 defers every non-delta host fetch — the per-epoch
-    delta trajectory must be bit-identical to the reference cadence."""
+    """eval_interval>1 defers every non-delta host fetch (and, with the
+    default pipeline_delta, lags the delta fetch itself one epoch) — the
+    per-epoch delta trajectory AND the final weights must be bit-identical
+    to the reference cadence."""
     kw = dict(stopping_delta=None, max_epochs=5)
     a = make_trainer(tmp_path, cohorts, "cad1", eval_interval=1, **kw)
     a.train()
@@ -117,11 +125,42 @@ def test_deferred_cadence_delta_bit_identical(tmp_path, cohorts):
     b.close()
     assert a.delta_history == b.delta_history
     assert len(a.delta_history) == 4  # epochs 1..max_epochs-1
+    for pa, pb in zip(_final_params(a), _final_params(b)):
+        np.testing.assert_array_equal(pa, pb)
     # boundary checkpoints still written under the deferred cadence
     import os
     assert os.path.exists(
         tmp_path / "cad3" / "weight" / "delta" / "checkpoint.npz"
     )
+
+
+@pytest.mark.slow
+def test_pipeline_delta_stop_rollback_bit_identical(tmp_path, cohorts):
+    """A stop that fires on the LAGGED changed-label scalar inside a
+    pipelined (non-boundary) epoch must roll back the speculative
+    dispatch: stopping epoch, delta trajectory and final weights all
+    bit-identical to the unpipelined deferred cadence and to the
+    reference eval_interval=1 cadence. With eval_interval=4 the count
+    criterion fires at epoch 2, resolved mid-epoch-3 — the rollback path."""
+    kw = dict(stopping_delta=None, stopping_mode="count",
+              stopping_count=10**9, max_epochs=6)
+    runs = {}
+    for name, extra in {
+        "ref": dict(eval_interval=1),
+        "plain": dict(eval_interval=4, pipeline_delta=False),
+        "piped": dict(eval_interval=4, pipeline_delta=True),
+    }.items():
+        tr = make_trainer(tmp_path, cohorts, name, **kw, **extra)
+        tr.train()
+        tr.close()
+        runs[name] = (tr.epoch, list(tr.delta_history), _final_params(tr))
+    e0, h0, p0 = runs["ref"]
+    assert e0 == 2 and len(h0) == 2  # fires at the first comparable epoch
+    for name in ("plain", "piped"):
+        e, h, p = runs[name]
+        assert (e, h) == (e0, h0), name
+        for pa, pb in zip(p0, p):
+            np.testing.assert_array_equal(pa, pb)
 
 
 @pytest.mark.slow
