@@ -68,6 +68,9 @@ def main():
                     choices=("delta", "count", "patience"))
     ap.add_argument("--stopping_count", type=int, default=0)
     ap.add_argument("--stopping_patience", type=int, default=20)
+    # loop-A/B iteration mode: skip the manual epoch timing, feature
+    # dumps and p4 (the slow tail) — measure only the full-loop cadences
+    ap.add_argument("--only_loop", action="store_true")
     args = ap.parse_args()
 
     from deep_interpolation_clustering_tpu.cli.common import (
@@ -120,41 +123,42 @@ def main():
     cfg3 = Config(
         max_epochs=args.max_epochs, loss="ae_mse_sup_fake_detect_kl", **base
     )
-    ds3 = {c: ArrayDataset(cfg3, d, c) for c, d in cohorts.items()}
-    tr3 = ClusterTrainer(cfg3, ds3, p3_path, pretrain_exp_path=p1_path,
-                         use_tensorboard=False)
+    if not args.only_loop:
+        ds3 = {c: ArrayDataset(cfg3, d, c) for c, d in cohorts.items()}
+        tr3 = ClusterTrainer(cfg3, ds3, p3_path, pretrain_exp_path=p1_path,
+                             use_tensorboard=False)
 
-    t0 = time.time()
-    valid_prev = tr3.init_centers()  # latent extract @100k + kmeans fit
-    print(json.dumps({"metric": "p3_center_init_seconds",
-                      "value": round(time.time() - t0, 1),
-                      "kmeans_n_init": args.kmeans_n_init}))
-
-    # warm the train-epoch + delta-eval programs, then time DEC epochs
-    deltas, epoch_s, eval_s = [], [], []
-    for e in range(args.max_epochs):
         t0 = time.time()
-        tr3.train_one_epoch(ds3["training"], denoise=False)
-        t1 = time.time()
-        delta, _, valid_pred, _ = tr3.generate_pred_cluster(
-            "valid", ds3["validation"], valid_prev
-        )
-        t2 = time.time()
-        valid_prev = valid_pred
-        deltas.append(round(delta, 5))
-        if e > 0:  # first iteration pays the compiles
-            epoch_s.append(t1 - t0)
-            eval_s.append(t2 - t1)
-        tr3.epoch += 1
-        if cfg3.stopping_delta is not None and delta < cfg3.stopping_delta:
-            break
-    print(json.dumps({
-        "metric": "p3_dec_epoch_seconds",
-        "value": round(float(np.median(epoch_s)), 2) if epoch_s else None,
-        "delta_eval_seconds": round(float(np.median(eval_s)), 2) if eval_s else None,
-        "epochs_run": len(deltas), "delta_trajectory": deltas,
-        "stopping_delta": cfg3.stopping_delta,
-    }))
+        valid_prev = tr3.init_centers()  # latent extract @100k + kmeans fit
+        print(json.dumps({"metric": "p3_center_init_seconds",
+                          "value": round(time.time() - t0, 1),
+                          "kmeans_n_init": args.kmeans_n_init}))
+
+        # warm the train-epoch + delta-eval programs, then time DEC epochs
+        deltas, epoch_s, eval_s = [], [], []
+        for e in range(args.max_epochs):
+            t0 = time.time()
+            tr3.train_one_epoch(ds3["training"], denoise=False)
+            t1 = time.time()
+            delta, _, valid_pred, _ = tr3.generate_pred_cluster(
+                "valid", ds3["validation"], valid_prev
+            )
+            t2 = time.time()
+            valid_prev = valid_pred
+            deltas.append(round(delta, 5))
+            if e > 0:  # first iteration pays the compiles
+                epoch_s.append(t1 - t0)
+                eval_s.append(t2 - t1)
+            tr3.epoch += 1
+            if cfg3.stopping_delta is not None and delta < cfg3.stopping_delta:
+                break
+        print(json.dumps({
+            "metric": "p3_dec_epoch_seconds",
+            "value": round(float(np.median(epoch_s)), 2) if epoch_s else None,
+            "delta_eval_seconds": round(float(np.median(eval_s)), 2) if eval_s else None,
+            "epochs_run": len(deltas), "delta_trajectory": deltas,
+            "stopping_delta": cfg3.stopping_delta,
+        }))
 
     # ---- full-loop cadence A/B + scaled stopping demonstration
     if args.loop_epochs:
@@ -199,6 +203,9 @@ def main():
                 "delta_trajectory": [round(d, 5) for d in trL.delta_history],
             }))
             trL.close()
+
+    if args.only_loop:
+        return
 
     # feature dumps for p4 (the p3 CLI writes these via eval(generate_feat))
     t0 = time.time()

@@ -96,14 +96,20 @@ class Config:
     update_interval: int = 1
     # Deferred DEC cadence only (eval_interval>1, single-process fused):
     # fetch epoch e's changed-label count AFTER dispatching epoch e+1's
-    # train, so the one mandatory per-epoch D2H sync overlaps device
-    # compute instead of serializing with it. Stop semantics are exact:
-    # the loop keeps the pre-dispatch param/opt handles and rolls back to
-    # them when the (lagged) criterion fires, so the stopping epoch, the
-    # delta trajectory AND the final weights are bit-identical to the
-    # unpipelined cadence (tests/test_dec_stopping.py) — the only cost is
-    # one discarded speculative epoch of device work per run.
-    pipeline_delta: bool = True
+    # train, hoping to overlap the one mandatory per-epoch D2H sync with
+    # device compute. Stop semantics are exact: the loop snapshots the
+    # pre-dispatch carries (one jitted device copy — the fused step
+    # donates its inputs) and rolls back when the lagged criterion fires,
+    # so the stopping epoch, the delta trajectory AND the final weights
+    # are bit-identical to the unpipelined cadence
+    # (tests/test_dec_stopping.py). Measured at 100k/T=354 on the v5e:
+    # NO win — 0.54 vs 0.52 s/epoch at 23 epochs (per-leaf snapshot
+    # copies read 2.24 before the jitted bulk copy). The run-length
+    # sweep shows why: the deferred loop's steady state is already
+    # ~0.36 s/epoch vs the 0.31 s device floor; the rest of its headline
+    # wall is once-per-run compile/boundary cost, which no fetch lag can
+    # hide — kept OFF as the experiment record (PARITY.md r5).
+    pipeline_delta: bool = False
     kmeans_n_init: int = 20
     # "device": on-device jitted k-means (production). "sklearn": host-side
     # NumPy mirror of sklearn.KMeans's exact RNG path — bit-identical labels

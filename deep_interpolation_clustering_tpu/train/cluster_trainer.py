@@ -32,15 +32,44 @@ from .optim import set_learning_rate
 from .trainer import Trainer, _fmt
 
 
+@jax.jit
+def _count_changed(chunks, prev):
+    """Fuse the post-eval delta pipeline — concat + argmax + compare +
+    sum — into ONE dispatch. Outside jit each op is its own XLA dispatch
+    riding the tunnel (~40-60 ms RTT each); the deferred DEC loop pays
+    this every epoch (PARITY.md r5 dispatch-count ledger)."""
+    pred = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    labels = jnp.argmax(pred, axis=1)
+    return jnp.sum(labels != prev), labels
+
+
+@jax.jit
+def _argmax_chunks(chunks):
+    pred = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    return jnp.argmax(pred, axis=1)
+
+
+@jax.jit
+def _copy_arrays(xs):
+    # one compiled computation for the whole leaf list: without donation
+    # the jit outputs are guaranteed fresh buffers, and ONE dispatch ride
+    # on the tunnel instead of one per leaf (per-leaf .copy() measured
+    # 0.69 -> 2.24 s/epoch at 100k — dispatch latency, not HBM)
+    return [jnp.copy(x) for x in xs]
+
+
 def _snapshot(tree):
     """Device-side copy of a carry tree's array leaves. The fused train
     step DONATES its (params, state, opt_state) inputs (steps.py), so a
     retained rollback handle must not alias the dispatch inputs — the
     donation would delete its buffers. ~8 MB async HBM copy at the
     production model size: noise next to a train epoch."""
-    return jax.tree_util.tree_map(
-        lambda x: x.copy() if isinstance(x, jax.Array) else x, tree
-    )
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, leaf in enumerate(leaves) if isinstance(leaf, jax.Array)]
+    copied = _copy_arrays([leaves[i] for i in idx])
+    for i, c in zip(idx, copied):
+        leaves[i] = c
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _cat_dump(chunks):
@@ -164,12 +193,21 @@ class ClusterTrainer(Trainer):
             scope, ds, denoise, dump_keys=("cluster_pred",),
             device_dumps=True, defer_losses=defer_losses,
         )
-        pred = _cat_dump(dumps["cluster_pred"])
-        xp = jnp if isinstance(pred, jax.Array) else np
-        cluster_pred = xp.argmax(pred, axis=1)
-        count = None
-        if prev_pred is not None:
-            count = xp.sum(cluster_pred != xp.asarray(prev_pred))
+        chunks = dumps["cluster_pred"]
+        if all(isinstance(c, jax.Array) for c in chunks):
+            # device path: ONE fused dispatch instead of concat/argmax/
+            # compare/sum each paying a tunnel round trip
+            if prev_pred is not None:
+                count, cluster_pred = _count_changed(
+                    tuple(chunks), jnp.asarray(prev_pred)
+                )
+            else:
+                count, cluster_pred = None, _argmax_chunks(tuple(chunks))
+        else:  # host path (multi-process / per-batch eval)
+            cluster_pred = np.argmax(_cat_dump(chunks), axis=1)
+            count = None
+            if prev_pred is not None:
+                count = np.sum(cluster_pred != np.asarray(prev_pred))
         return count, cluster_pred, metrics
 
     @staticmethod
@@ -236,12 +274,12 @@ class ClusterTrainer(Trainer):
         async, fetch ONE changed-label scalar, and queue the train/valid
         loss handles; checkpointing and plateau-LR stepping happen at
         boundaries only (the pretrain trainer's documented eval_interval
-        semantics). With `pipeline_delta` (default ON) even that scalar
+        semantics). With `pipeline_delta` (opt-in; measured neutral on
+        the tunnel backend — Config.pipeline_delta) even that scalar
         fetch is lagged one epoch: epoch e's count syncs AFTER epoch
-        e+1's dispatch, so the tunnel round trip overlaps device compute
-        instead of serializing with it; when the lagged criterion fires,
-        the loop restores the retained pre-dispatch param handles, making
-        the stopping epoch, the delta trajectory AND the final weights
+        e+1's dispatch; when the lagged criterion fires, the loop
+        restores snapshot copies of the pre-dispatch carries, making the
+        stopping epoch, the delta trajectory AND the final weights
         bit-identical to the unpipelined cadence at the cost of one
         discarded speculative epoch per run (tests/test_dec_stopping.py)."""
         cfg = self.cfg

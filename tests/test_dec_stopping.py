@@ -112,10 +112,10 @@ def _final_params(tr):
 
 @pytest.mark.slow
 def test_deferred_cadence_delta_bit_identical(tmp_path, cohorts):
-    """eval_interval>1 defers every non-delta host fetch (and, with the
-    default pipeline_delta, lags the delta fetch itself one epoch) — the
-    per-epoch delta trajectory AND the final weights must be bit-identical
-    to the reference cadence."""
+    """eval_interval>1 defers every non-delta host fetch — the per-epoch
+    delta trajectory AND the final weights must be bit-identical to the
+    reference cadence (pipeline_delta's lagged variant is covered by
+    test_pipeline_delta_stop_rollback_bit_identical)."""
     kw = dict(stopping_delta=None, max_epochs=5)
     a = make_trainer(tmp_path, cohorts, "cad1", eval_interval=1, **kw)
     a.train()
