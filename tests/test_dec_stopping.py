@@ -164,6 +164,28 @@ def test_pipeline_delta_stop_rollback_bit_identical(tmp_path, cohorts):
 
 
 @pytest.mark.slow
+def test_pipeline_delta_stop_at_boundary_top(tmp_path, cohorts):
+    """The OTHER lagged-stop path: with eval_interval=3 the count
+    criterion (fires at epoch 2) resolves at epoch 3's boundary TOP,
+    before any dispatch — no rollback involved, the loop must cancel the
+    boundary epoch entirely and report the same stop epoch/history as
+    the reference cadence."""
+    kw = dict(stopping_delta=None, stopping_mode="count",
+              stopping_count=10**9, max_epochs=6)
+    a = make_trainer(tmp_path, cohorts, "bref", eval_interval=1, **kw)
+    a.train()
+    a.close()
+    b = make_trainer(tmp_path, cohorts, "btop", eval_interval=3,
+                     pipeline_delta=True, **kw)
+    b.train()
+    b.close()
+    assert (b.epoch, list(b.delta_history)) == (a.epoch, list(a.delta_history))
+    assert a.epoch == 2
+    for pa, pb in zip(_final_params(a), _final_params(b)):
+        np.testing.assert_array_equal(pa, pb)
+
+
+@pytest.mark.slow
 def test_deferred_cadence_on_mesh_matches_single(tmp_path, cohorts):
     """The deferred DEC cadence under an 8-device data mesh (single
     process, so the defer gate holds): its delta trajectory must match the
