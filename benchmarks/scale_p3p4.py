@@ -18,6 +18,13 @@ init restores, exactly like the production p1->p3 handoff
 Prints one JSON line per stage. Usage:
   python benchmarks/scale_p3p4.py [--n 100000] [--max_obs 354]
       [--batch_size 256] [--max_epochs 6] [--kmeans_n_init 20]
+
+Cadence A/B (`--loop_epochs N`): full ClusterTrainer.train() runs at
+eval_interval 1 / --loop_interval, the latter with pipeline_delta
+off/on. Interpretation note (PARITY.md r5): wall/epoch carries a
+~3.7 s once-per-run compile+boundary cost — run TWO lengths (e.g.
+--only_loop --loop_epochs 24 --stopping_mode delta vs a stopping run)
+and solve for the steady-state slope before attributing overheads.
 """
 
 from __future__ import annotations
