@@ -170,9 +170,12 @@ def main():
     # ---- full-loop cadence A/B + scaled stopping demonstration
     if args.loop_epochs:
         # pipeline_delta only changes the deferred cadence (lagged scalar
-        # fetch + rollback-on-stop) — A/B it at the deferred interval
+        # fetch + rollback-on-stop) — A/B it at the deferred interval; the
+        # reference-cadence arm records pipeline_delta=False (the flag is
+        # inert at eval_interval=1, so labeling it on would misrepresent
+        # the measurement)
         for interval, piped in (
-            (1, True), (args.loop_interval, False), (args.loop_interval, True),
+            (1, False), (args.loop_interval, False), (args.loop_interval, True),
         ):
             cfgL = Config(
                 max_epochs=args.loop_epochs,

@@ -336,6 +336,31 @@ class ClusterTrainer(Trainer):
                 stop_msg = self._should_stop(delta, n_changed)
             return stop_msg, rec["epoch"]
 
+        def stop_candidacy(host_metrics=None, delta=None):
+            """An early stop ends the run mid-interval: the deferred
+            cadence checkpoints at eval boundaries only, so without this
+            the STOPPING epoch's weights — the final in-memory state that
+            p3's post-train dumps restore via load_weight — would never
+            be checkpoint-eligible (up to eval_interval-1 epochs stale
+            vs what train() returns). drain() already wrote the summary
+            row and the epoch already stepped its LR, so candidacy alone
+            (Trainer._ckpt_candidacy). On the non-fused deferred path the
+            valid metrics are host floats that were never summarized —
+            write the row here too."""
+            nonlocal last_valid
+            if host_metrics is not None:
+                # host floats on the per-batch path; per-batch device
+                # arrays if only the eval side could fuse — mean either
+                vm = {
+                    k: float(np.mean(jax.device_get(v)))
+                    for k, v in host_metrics.items()
+                }
+                vm["delta"] = delta
+                self.summary.add_summary(self.epoch, scope="valid", **vm)
+                last_valid = vm
+            if last_valid:
+                self._ckpt_candidacy(last_valid)
+
         with timer("Duration of training"):
             while self.epoch < cfg.max_epochs:
                 is_eval = (
@@ -356,6 +381,7 @@ class ClusterTrainer(Trainer):
                     if stop_msg:
                         self.epoch = stopped_epoch
                         drain()
+                        stop_candidacy()
                         logger.info("Early stopping as %s.", stop_msg)
                         break
                 if defer:
@@ -415,6 +441,7 @@ class ClusterTrainer(Trainer):
                             self.params, self.state, self.opt_state = rollback
                             self.epoch = stopped_epoch
                             drain()
+                            stop_candidacy()
                             logger.info("Early stopping as %s.", stop_msg)
                             break
                     inflight = rec
@@ -449,6 +476,8 @@ class ClusterTrainer(Trainer):
                     stop_msg = self._should_stop(delta, n_changed)
                     if stop_msg:
                         drain()
+                        if not is_eval:  # boundary stops ran aly_pred already
+                            stop_candidacy(None if defer else vh, delta)
                         logger.info("Early stopping as %s.", stop_msg)
                         break
                     valid_prev = valid_pred

@@ -749,24 +749,33 @@ class Trainer:
     def restore_metric(self) -> str:
         return self.cfg.restore_metric
 
+    def _ckpt_candidacy(self, metric_dict: Dict[str, float]) -> None:
+        """Best-metric checkpoint candidacy for the CURRENT epoch — the
+        save-on-improvement half of aly_pred (reference
+        pretrain_trainer.py:126-199 semantics). Factored out so the DEC
+        loop's deferred cadence can grant an early-STOPPING epoch its
+        candidacy without re-stepping the LR schedule or duplicating the
+        summary row (cluster_trainer.py)."""
+        improved = self.flag_dict.improved(metric_dict, self.epoch)
+        for m in improved if is_main_process() else []:
+            path = os.path.join(self.weight_paths[m], ckpt.CKPT_NAME)
+            ckpt.save_checkpoint(
+                path, self.epoch, self.params, self.state, self.opt_state,
+                extra={
+                    "lr": self.lr_schedule.lr,
+                    "metric": m,
+                    "lr_schedule": self.lr_schedule.state_dict(),
+                    "flag_dict": self.flag_dict.state_dict(),
+                },
+            )
+            logger.info("saving for %s", m)
+
     def aly_pred(self, scope: str, metric_dict: Dict[str, float]) -> Dict:
         if scope == "valid":
             self.lr_schedule.step(metric_dict.get("loss"))
             set_learning_rate(self.opt_state, self.lr_schedule.lr)
             metric_dict["lr"] = self.lr_schedule.lr
-            improved = self.flag_dict.improved(metric_dict, self.epoch)
-            for m in improved if is_main_process() else []:
-                path = os.path.join(self.weight_paths[m], ckpt.CKPT_NAME)
-                ckpt.save_checkpoint(
-                    path, self.epoch, self.params, self.state, self.opt_state,
-                    extra={
-                        "lr": self.lr_schedule.lr,
-                        "metric": m,
-                        "lr_schedule": self.lr_schedule.state_dict(),
-                        "flag_dict": self.flag_dict.state_dict(),
-                    },
-                )
-                logger.info("saving for %s", m)
+            self._ckpt_candidacy(metric_dict)
         self.summary.add_summary(self.epoch, scope=scope, **metric_dict)
         logger.info("%s", _fmt(metric_dict))
         return {

@@ -186,6 +186,46 @@ def test_pipeline_delta_stop_at_boundary_top(tmp_path, cohorts):
 
 
 @pytest.mark.slow
+def test_stop_epoch_checkpoint_candidacy(tmp_path, cohorts):
+    """An early stop at a NON-boundary epoch of the deferred cadence must
+    leave the stopping epoch's weights checkpoint-eligible: p3's
+    post-train dumps restore via load_weight, and without the candidacy
+    grant a count/patience stop mid-interval leaves the best checkpoints
+    up to eval_interval-1 epochs behind the final in-memory weights —
+    here, with the stop firing before the FIRST boundary, no valid
+    checkpoint would exist at all. Covers all four stop paths: plain
+    deferred, pipelined rollback, pipelined boundary-top, and the
+    non-fused host-metrics path."""
+    import jax
+
+    from deep_interpolation_clustering_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+
+    kw = dict(stopping_delta=None, stopping_mode="count",
+              stopping_count=10**9, max_epochs=6)
+    for name, extra in {
+        "sc_plain": dict(eval_interval=4, pipeline_delta=False),
+        "sc_piped": dict(eval_interval=4, pipeline_delta=True),
+        "sc_btop": dict(eval_interval=3, pipeline_delta=True),
+        "sc_nofuse": dict(eval_interval=4, fused_epoch=False),
+    }.items():
+        tr = make_trainer(tmp_path, cohorts, name, **kw, **extra)
+        tr.train()
+        tr.close()
+        assert tr.epoch == 2, name  # stopped before the first boundary
+        path = tmp_path / name / "weight" / "delta" / "checkpoint.npz"
+        assert path.exists(), name
+        epoch, params, _state, _, _ = load_checkpoint(str(path))
+        assert epoch == tr.epoch, name
+        live = jax.tree_util.tree_leaves(jax.device_get(tr.params))
+        saved = jax.tree_util.tree_leaves(params)
+        assert len(live) == len(saved), name
+        for a, b in zip(live, saved):
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.slow
 def test_deferred_cadence_on_mesh_matches_single(tmp_path, cohorts):
     """The deferred DEC cadence under an 8-device data mesh (single
     process, so the defer gate holds): its delta trajectory must match the
